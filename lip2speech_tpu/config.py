@@ -1,0 +1,155 @@
+"""Frozen configuration for the lip2speech_tpu framework.
+
+Replaces the reference's scattered ``create_hparams()`` calls
+(``/root/reference/hparams.py:1-102``) with one immutable, hashable config
+object that is threaded explicitly through every module — required for JAX,
+where configs participate in ``jax.jit`` static arguments.
+
+Values mirror the reference defaults so converted checkpoints line up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """DSP parameters (reference hparams.py:32-38)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 256
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    # log-compression clip value; log(1e-5) = -11.5129 is also the mel pad
+    # value used by the reference collate (datasets/__init__.py:16).
+    clip_val: float = 1e-5
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def log_pad_value(self) -> float:
+        import math
+
+        return math.log(self.clip_val)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model dimensions (reference hparams.py:46-73 + module constants)."""
+
+    # Video encoder (model/modules/video.py:53-74)
+    frontend_channels: int = 24
+    shufflenet_width: float = 1.0
+    video_feature_dim: int = 768  # ShuffleNetV2 1.0x trunk output (1024-256)
+    # Face / speaker embedding (model/modules/vgg_face.py:22-26)
+    face_embedding_dim: int = 256
+    facenet_embedding_dim: int = 512
+    # Encoder = video features + tiled face embedding (model/model.py:36)
+    encoder_embedding_dim: int = 1024
+    # Decoder (model/modules/decoder.py:274-318)
+    n_mels: int = 80
+    ffn_hidden_dim: int = 512
+    n_decoder_layers: int = 2
+    max_decoder_steps: int = 300
+    gate_threshold: float = 0.5
+    prenet_dropout: float = 0.2
+    decoder_rnn_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    encoder_feature_dropout: float = 0.1
+    # Content quantizer (decoder.py:199-237)
+    content_vocab_size: int = 501
+    content_latent_dim: int = 256
+    gumbel_tau: float = 0.1
+    # Postnet (hparams.py:71-73)
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+    postnet_dropout: float = 0.5
+    # Positional tables (decoder.py:33,318)
+    max_encoder_positions: int = 200
+    # Discriminator (model/modules/discriminator.py:43-97)
+    discriminator_patch: int = 32  # static upper bound of the 7..31 patch
+    # Speaker (voice) encoder (model/modules/audio.py:110-129)
+    speaker_mel_bins: int = 40
+    speaker_lstm_dim: int = 256
+    speaker_lstm_layers: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Static-shape data pipeline parameters.
+
+    The reference pads dynamically to the batch max (datasets/__init__.py:7-46);
+    XLA needs static shapes, so we bucket to fixed sizes. LRW clips are 29
+    frames / ~77 mel steps (1.216 s @ 16 kHz), so the defaults cover LRW
+    exactly with minimal padding.
+    """
+
+    max_video_frames: int = 29
+    max_mel_frames: int = 80
+    max_audio_samples: int = 20480  # 1.28 s @ 16 kHz
+    mouth_size: Tuple[int, int] = (96, 96)
+    face_size: Tuple[int, int] = (160, 160)
+    n_face_crops: int = 2
+    mel_pad_value: float = -11.5129  # log(1e-5), datasets/__init__.py:16
+    # ImageNet mouth normalization (datasets/lrw/dataset.py:83-86)
+    mouth_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    mouth_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization (reference hparams.py:77-85, train.py:88-160)."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-6
+    grad_clip: float = 1.0
+    batch_size: int = 64
+    seed: int = 1234
+    max_iters: int = 6_400_000
+    eval_interval: int = 2000
+    log_interval: int = 50
+    tf_ratio_start: float = 0.1
+    tf_ratio_step: float = 0.1  # +=0.1 every 10 epochs (train.py:159-160)
+    tf_ratio_epochs: int = 10
+    postnet_loss_weight: float = 10.0
+    # bf16 activations on TPU replace apex AMP O2 (train.py:106-107)
+    bf16: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for pjit/shard_map.
+
+    The reference is single-GPU (SURVEY.md §2.10); its vestigial
+    ``dist_backend='nccl'`` flags map to XLA collectives over ICI here.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = all remaining devices on the data axis
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> Config:
+    return Config()

@@ -1,0 +1,191 @@
+"""STFT / ISTFT primitives, TPU-native.
+
+Replaces the torchaudio C++ kernels used by the reference
+(``/root/reference/datasets/spectograms.py:42-95``). Everything here is pure
+``jax.numpy``: jittable, batchable, differentiable, and static-shape.
+
+Conventions match ``torch.stft`` defaults used by torchaudio transforms:
+center=True with reflect padding, periodic Hann window, no normalization,
+onesided. Spectrogram layout is ``(..., n_freqs, n_frames)``.
+
+Two STFT paths:
+  * ``stft`` — framing + ``jnp.fft.rfft`` (XLA FFT).
+  * ``stft_matmul`` — framed signal times a real DFT matrix; this maps the
+    whole transform onto the MXU and is the fast path for short n_fft on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (matches ``torch.hann_window(periodic=True)``)."""
+    n = np.arange(win_length)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def _pad_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    win_length = window.shape[0]
+    if win_length == n_fft:
+        return window
+    left = (n_fft - win_length) // 2
+    return jnp.pad(window, (left, n_fft - win_length - left))
+
+
+def num_frames(n_samples: int, n_fft: int, hop_length: int, center: bool = True) -> int:
+    if center:
+        return 1 + n_samples // hop_length
+    return 1 + (n_samples - n_fft) // hop_length
+
+
+def frame_signal(
+    x: jnp.ndarray, n_fft: int, hop_length: int, center: bool = True
+) -> jnp.ndarray:
+    """Slice ``x (..., n_samples)`` into overlapping frames ``(..., T, n_fft)``."""
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(
+            x,
+            [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+            mode="reflect",
+        )
+    n_samples = x.shape[-1]
+    t = (n_samples - n_fft) // hop_length + 1
+    # Gather via static index matrix. XLA turns this into an efficient
+    # strided gather; for n_fft % hop == 0 it fuses with downstream matmuls.
+    idx = np.arange(t)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of ``x (..., n_samples)`` -> ``(..., n_freqs, T)``."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, x.dtype)
+    window = _pad_window(window, n_fft)
+    frames = frame_signal(x, n_fft, hop_length, center) * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases, shape (n_fft, n_freqs)."""
+    n_freqs = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def stft_matmul(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU-path STFT: returns (real, imag), each ``(..., n_freqs, T)``.
+
+    The (n_fft x n_freqs) DFT matmul runs on the systolic array; for the
+    80-mel pipeline the mel projection fuses right behind it.
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, x.dtype)
+    window = _pad_window(window, n_fft)
+    frames = frame_signal(x, n_fft, hop_length, center) * window
+    cos, sin = _dft_matrices(n_fft)
+    re = jnp.matmul(frames, jnp.asarray(cos), preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, jnp.asarray(sin), preferred_element_type=jnp.float32)
+    return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
+
+
+def spectrogram(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    power: float = 2.0,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Power (or magnitude) spectrogram, ``(..., n_freqs, T)``."""
+    re, im = stft_matmul(x, n_fft, hop_length, win_length, center=center)
+    p = re * re + im * im
+    if power == 2.0:
+        return p
+    if power == 1.0:
+        return jnp.sqrt(jnp.maximum(p, 1e-30))
+    return jnp.power(jnp.maximum(p, 1e-30), power / 2.0)
+
+
+def _overlap_add(frames: jnp.ndarray, hop_length: int, n_fft: int) -> jnp.ndarray:
+    """Overlap-add ``(..., T, n_fft)`` -> ``(..., (T-1)*hop + n_fft)``.
+
+    When ``n_fft % hop == 0`` (our 1024/256 case) OLA decomposes into
+    ``n_fft // hop`` shifted adds of reshaped chunks — no scatter, pure
+    vector adds, so it vectorizes cleanly on the VPU.
+    """
+    *batch, t, _ = frames.shape
+    out_len = (t - 1) * hop_length + n_fft
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        # (..., T, k, hop): piece j of frame i lands at offset (i + j) * hop.
+        chunks = frames.reshape(*batch, t, k, hop_length)
+        out = jnp.zeros((*batch, t + k - 1, hop_length), frames.dtype)
+        for j in range(k):
+            out = out.at[..., j : j + t, :].add(chunks[..., :, j, :])
+        return out.reshape(*batch, (t + k - 1) * hop_length)[..., :out_len]
+    # Generic scatter path.
+    idx = np.arange(t)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    out = jnp.zeros((*batch, out_len), frames.dtype)
+    return out.at[..., idx.reshape(-1)].add(frames.reshape(*batch, -1))
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT of complex ``(..., n_freqs, T)`` with window-square OLA
+    normalization (matches ``torch.istft`` semantics)."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, jnp.float32)
+    window = _pad_window(window, n_fft)
+
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window
+    y = _overlap_add(frames, hop_length, n_fft)
+
+    t = spec.shape[-1]
+    wsq = jnp.tile(window * window, (t, 1))
+    norm = _overlap_add(wsq, hop_length, n_fft)
+    y = y / jnp.maximum(norm, 1e-11)
+
+    if center:
+        pad = n_fft // 2
+        y = y[..., pad:]
+        if length is None:
+            y = y[..., : y.shape[-1] - pad]
+    if length is not None:
+        y = y[..., :length]
+    return y
