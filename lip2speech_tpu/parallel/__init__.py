@@ -1,0 +1,8 @@
+from lip2speech_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    partition_params,
+    shard_pytree,
+    batch_sharding,
+    replicated,
+    TP_RULES,
+)

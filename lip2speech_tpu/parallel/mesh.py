@@ -1,0 +1,84 @@
+"""Device mesh + sharding rules (pjit/GSPMD).
+
+The reference is single-GPU with vestigial NCCL flags
+(``/root/reference/hparams.py:13-15``, never read — SURVEY.md §2.10). Here
+parallelism is first-class: a named ``Mesh`` with ``data`` and ``model``
+axes; batches shard over ``data`` (gradients psum over ICI automatically
+under jit), and the large decoder/encoder matmul weights optionally shard
+over ``model`` for tensor parallelism. XLA GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_data: int = -1,
+    n_model: int = 1,
+    devices: list | None = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data == -1:
+        n_data = n // n_model
+    assert n_data * n_model == n, (n_data, n_model, n)
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+# Tensor-parallel rules: param-path regex -> PartitionSpec. The big
+# square-ish matmuls in the decoder AR step and the conv banks are sharded
+# on their output (last) dim; everything else is replicated. psum/all-gather
+# over 'model' rides ICI.
+TP_RULES: list[tuple[str, P]] = [
+    (r"decoder/(Q|prenet\d|fc_out|attention_proj|content_Q)_kernel$", P(None, "model")),
+    (r"decoder/decoder_rnn_l\d_(wx|wh)$", P(None, "model")),
+    (r"decoder/encoder_rnn/.*/(wx|wh)$", P(None, "model")),
+    (r"decoder/(K_bank|V_bank)/.*(conv_k\d+|bottleneck)/kernel$", P(None, None, "model")),
+    (r"encoder/trunk/conv_last_conv/kernel$", P(None, None, None, "model")),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def partition_params(params: Any, mesh: Mesh, tensor_parallel: bool) -> Any:
+    """PartitionSpec pytree for the param tree. With ``tensor_parallel``
+    off (or a 1-sized model axis) everything is replicated."""
+
+    def spec_for(path, leaf):
+        if tensor_parallel and mesh.shape.get("model", 1) > 1:
+            p = _path_str(path)
+            for pat, spec in TP_RULES:
+                if re.search(pat, p):
+                    # only shard if the sharded dim divides evenly
+                    dims = [d for d in spec if d is not None]
+                    if dims and leaf.shape[-1] % mesh.shape["model"] == 0:
+                        return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_pytree(tree: Any, mesh: Mesh, specs: Any) -> Any:
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays shard their leading dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,129 @@
+"""The jitted train step + optimizer (optax) over a device mesh.
+
+Rebuild of the reference loop body (``/root/reference/train.py:151-197``)
+as one pure function: forward -> loss dict -> grad -> clip -> AdamW(amsgrad)
+update, compiled once with pjit. Data parallelism comes from sharding the
+batch over the mesh's ``data`` axis; the gradient all-reduce is inserted by
+XLA (the TPU-native equivalent of the reference's absent DDP/NCCL).
+
+Only encoder + decoder parameters are optimized — vgg_face (and any
+speaker-encoder weights) stay frozen, matching ``train.py:102-104``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from lip2speech_tpu.config import Config
+from lip2speech_tpu.models import Lip2Speech
+from lip2speech_tpu.train.losses import lip2speech_loss
+
+TRAINABLE_TOP = ("encoder", "decoder")
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def trainable_mask(params: Any) -> Any:
+    """True for params under encoder/ or decoder/ (train.py:102-104)."""
+
+    def mask(path, _):
+        return str(getattr(path[0], "key", path[0])) in TRAINABLE_TOP
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    """AdamW(amsgrad) + global-norm clip, frozen branches zeroed
+    (train.py:88,102-104: AdamW(lr 1e-4, wd 1e-6, amsgrad) + clip 1.0)."""
+    mask = trainable_mask(params)
+    adamw_amsgrad = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.scale_by_amsgrad(),
+        optax.add_decayed_weights(cfg.train.weight_decay, mask=mask),
+        optax.scale(-cfg.train.learning_rate),
+    )
+    return optax.multi_transform(
+        {"train": adamw_amsgrad, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", mask),
+    )
+
+
+def create_train_state(cfg: Config, variables: Any) -> TrainState:
+    params = variables["params"]
+    tx = make_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(params),
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: dict[str, jnp.ndarray],
+    tf_ratio: jnp.ndarray,
+    rng: jax.Array,
+    cfg: Config,
+    model: Lip2Speech,
+    tx: optax.GradientTransformation,
+):
+    """One optimization step. ``batch`` keys: video (B,T,H,W,3),
+    faces (B,2,160,160,3), mel (B,80,M), gate (B,M), mel_mask (B,M)."""
+    step_rng = jax.random.fold_in(rng, state.step)
+    names = ["gumbel", "teacher", "dropout", "postnet_dropout", "encoder_dropout"]
+    keys = dict(zip(names, jax.random.split(step_rng, len(names))))
+
+    def loss_fn(params):
+        outputs, updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["video"],
+            batch.get("faces"),
+            batch["mel"],
+            tf_ratio,
+            batch.get("speaker_embedding"),  # bypasses the face net if given
+            keys,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses = lip2speech_loss(
+            outputs,
+            batch["mel"],
+            batch["gate"],
+            postnet_weight=cfg.train.postnet_loss_weight,
+        )
+        return losses["total"], (losses, updates["batch_stats"])
+
+    (loss, (losses, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = dict(losses)
+    metrics["grad_norm"] = optax.global_norm(grads)
+
+    return (
+        TrainState(state.step + 1, new_params, new_stats, new_opt_state),
+        metrics,
+    )
+
+
+def make_train_step(cfg: Config, model: Lip2Speech, tx):
+    """jit-compiled train step (donates state for in-place buffers)."""
+    return jax.jit(
+        functools.partial(train_step, cfg=cfg, model=model, tx=tx),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,140 @@
+"""Shape/jit tests for the model zoo on tiny inputs (CPU).
+
+Mirrors the reference's smoke-main contracts (SURVEY.md §4): random tensors
+through each module, asserting the documented shapes. Tiny spatial sizes
+keep CPU runtime low; full-size shapes are covered by the TPU bench.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lip2speech_tpu.config import ModelConfig
+from lip2speech_tpu.models import (
+    Decoder,
+    Discriminator,
+    FaceRecognizer,
+    Lip2Speech,
+    SpeakerEncoder,
+    VideoExtractor,
+    sample_patch,
+)
+
+CFG = ModelConfig()
+
+
+def test_video_extractor_shapes():
+    model = VideoExtractor()
+    video = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 96, 96, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), video, train=False)
+    out = model.apply(vars_, video, train=False)
+    assert out.shape == (2, 5, 768)
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)  # L2-normalized
+
+
+def test_face_recognizer_shapes():
+    model = FaceRecognizer()
+    x = jnp.zeros((2, 160, 160, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (2, 256)
+    emb = model.apply(vars_, x, method=FaceRecognizer.inference)
+    assert emb.shape == (2, 256)
+    n = np.linalg.norm(np.asarray(emb), axis=-1)
+    assert ((n < 1e-6) | (np.abs(n - 1) < 1e-4)).all()
+
+
+def test_speaker_encoder_shapes():
+    model = SpeakerEncoder(CFG)
+    wav = jnp.zeros((2, 16000))
+    vars_ = model.init(jax.random.PRNGKey(0), wav)
+    emb = model.apply(vars_, wav, method=SpeakerEncoder.inference)
+    assert emb.shape == (2, 256)
+
+
+@pytest.fixture(scope="module")
+def decoder_vars():
+    model = Decoder(CFG)
+    enc = jnp.zeros((2, 9, CFG.encoder_embedding_dim))
+    face = jnp.zeros((2, 256))
+    mels = jnp.zeros((2, 80, 12))
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+        "postnet_dropout": jax.random.PRNGKey(4),
+    }
+    vars_ = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        enc, face, mels, 0.5, rngs, train=False,
+    )
+    return model, vars_, enc, face, mels, rngs
+
+
+def test_decoder_train_outputs(decoder_vars):
+    model, vars_, enc, face, mels, rngs = decoder_vars
+    out, updates = model.apply(
+        vars_, enc, face, mels, 0.5, rngs, train=True, mutable=["batch_stats"]
+    )
+    assert out["mel"].shape == (2, 80, 12)
+    assert out["mel_postnet"].shape == (2, 80, 12)
+    assert out["gate"].shape == (2, 12, 1)
+    assert out["attention"].shape == (2, 12, 9)
+    # content: min_T = floor(9/7) = 1 slot
+    assert out["content_dist"].shape == (2 * 1, CFG.content_vocab_size)
+    assert "batch_stats" in updates
+    assert np.isfinite(np.asarray(out["mel_postnet"])).all()
+
+
+def test_decoder_inference(decoder_vars):
+    model, vars_, enc, face, _, rngs = decoder_vars
+    out = model.apply(vars_, enc, face, None, 1.0, rngs, train=False)
+    assert out["mel_postnet"].shape == (2, 80, CFG.max_decoder_steps)
+    assert out["lengths"].shape == (2,)
+    assert (np.asarray(out["lengths"]) >= 1).all()
+    assert (np.asarray(out["lengths"]) <= CFG.max_decoder_steps).all()
+
+
+def test_discriminator_shapes():
+    model = Discriminator(CFG)
+    mel = jnp.zeros((3, 80, 77))
+    spk = jnp.zeros((3, 256))
+    patch = sample_patch(jax.random.PRNGKey(0), 77, CFG.discriminator_patch)
+    vars_ = model.init(jax.random.PRNGKey(0), mel, spk, patch, train=False)
+    out = model.apply(vars_, mel, spk, patch, train=False)
+    assert out.shape == (3,)
+    out2, feats = model.apply(
+        vars_, mel, spk, patch, train=False, return_features=True
+    )
+    assert len(feats) == 5
+
+
+def test_lip2speech_end_to_end_tiny():
+    cfg = CFG
+    model = Lip2Speech(cfg)
+    video = jnp.zeros((1, 5, 96, 96, 3))
+    faces = jnp.zeros((1, 2, 160, 160, 3))
+    mels = jnp.zeros((1, 80, 12))
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+    vars_ = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        video, faces, mels, 0.5, None, rngs, train=False,
+    )
+    out, _ = model.apply(
+        vars_, video, faces, mels, 0.5, None, rngs, train=True,
+        mutable=["batch_stats"],
+    )
+    assert out["mel"].shape == (1, 80, 12)
+
+    # inference with external speaker embedding (demo.py:81-84 contract)
+    spk = jnp.zeros((1, 256))
+    out_inf = model.apply(
+        vars_, video, None, None, 1.0, spk, rngs, train=False
+    )
+    assert out_inf["mel_postnet"].shape == (1, 80, cfg.max_decoder_steps)

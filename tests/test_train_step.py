@@ -1,0 +1,181 @@
+"""Train-step tests on the 8-device virtual CPU mesh: loss decreases,
+gradients flow only into trainable branches, and DP/TP shardings compile
+and execute (SURVEY.md §4: multi-device tests via forced host platform).
+
+A shrunken ModelConfig + the external-speaker-embedding path (which skips
+the InceptionResnet face net) keep CPU compile times tractable; full-size
+shapes are exercised on TPU by bench.py and __graft_entry__.py.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lip2speech_tpu.config import Config, ModelConfig
+from lip2speech_tpu.models import Lip2Speech
+from lip2speech_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    partition_params,
+    shard_pytree,
+)
+from lip2speech_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+
+TINY_MODEL = ModelConfig(
+    ffn_hidden_dim=128,
+    content_vocab_size=33,
+    content_latent_dim=64,
+    max_decoder_steps=24,
+    postnet_embedding_dim=64,
+    shufflenet_width=0.5,
+)
+CFG = Config(model=TINY_MODEL)
+
+
+def tiny_batch(b=8, t=8, m=12, hw=32):
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    return {
+        "video": jax.random.normal(ks[0], (b, t, hw, hw, 3)) * 0.1,
+        "speaker_embedding": jax.random.normal(ks[1], (b, 256)) * 0.1,
+        "mel": jax.random.normal(ks[2], (b, 80, m)) - 5.0,
+        "gate": jnp.zeros((b, m)).at[:, -1].set(1.0),
+        "mel_mask": jnp.ones((b, m), bool),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Lip2Speech(CFG.model)
+    batch = tiny_batch()
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["video"], None, batch["mel"], 0.5,
+        batch["speaker_embedding"], rngs, train=False,
+    )
+    return model, variables, batch
+
+
+def _fresh(variables):
+    # deep-copy: jitted steps donate the state, invalidating shared buffers
+    return jax.tree.map(jnp.array, variables)
+
+
+def test_trainable_mask_and_freeze_semantics():
+    # micro param tree standing in for the full model's top-level layout
+    params = {
+        "encoder": {"w": jnp.ones((3,))},
+        "decoder": {"w": jnp.ones((3,))},
+        "vgg_face": {"w": jnp.ones((3,))},
+    }
+    mask = trainable_mask(params)
+    assert mask == {
+        "encoder": {"w": True},
+        "decoder": {"w": True},
+        "vgg_face": {"w": False},
+    }
+    tx = make_optimizer(Config(), params)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["vgg_face"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["decoder"]["w"]).max()) > 0.0
+    # weight decay must not leak into frozen branches either
+    new_params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["vgg_face"]["w"]), np.ones((3,))
+    )
+
+
+def test_train_step_loss_decreases_and_frozen_stable(setup):
+    model, variables, batch = setup
+    variables = _fresh(variables)
+    tx = make_optimizer(CFG, variables["params"])
+    state = create_train_state(CFG, variables)
+    step_fn = make_train_step(CFG, model, tx)
+
+    old_enc = [
+        np.asarray(x) for x in jax.tree.leaves(variables["params"]["encoder"])
+    ]
+
+    rng = jax.random.PRNGKey(42)
+    state, m0 = step_fn(state, batch, jnp.float32(0.5), rng)
+    first = float(m0["total"])
+    for _ in range(5):
+        state, metrics = step_fn(state, batch, jnp.float32(0.5), rng)
+    last = float(metrics["total"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+    assert float(metrics["grad_norm"]) > 0
+    # step counter advanced; encoder params moved
+    assert int(state.step) == 6
+    diffs = [
+        float(np.abs(a - np.asarray(b)).max())
+        for a, b in zip(old_enc, jax.tree.leaves(state.params["encoder"]))
+    ]
+    assert max(diffs) > 0
+
+
+def test_data_parallel_mesh(setup):
+    model, variables, batch = setup
+    variables = _fresh(variables)
+    assert jax.device_count() == 8
+    mesh = create_mesh(n_data=8, n_model=1)
+    tx = make_optimizer(CFG, variables["params"])
+    state = create_train_state(CFG, variables)
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    sbatch = jax.device_put(batch, batch_sharding(mesh))
+
+    step_fn = make_train_step(CFG, model, tx)
+    new_state, metrics = step_fn(
+        state, sbatch, jnp.float32(0.5), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(metrics["total"]))
+    # params remain replicated after the update
+    leaf = jax.tree.leaves(new_state.params["decoder"])[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_tensor_parallel_shardings_compile(setup):
+    model, variables, batch = setup
+    mesh = create_mesh(n_data=4, n_model=2)
+    specs = partition_params(variables["params"], mesh, tensor_parallel=True)
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert any(s != P() for s in spec_leaves), "no TP rule matched"
+
+    params = shard_pytree(variables["params"], mesh, specs)
+    stats = jax.device_put(variables["batch_stats"], NamedSharding(mesh, P()))
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+
+    @jax.jit
+    def fwd(p, s, b):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": s},
+            b["video"], None, b["mel"], 0.5, b["speaker_embedding"], rngs,
+            train=True, mutable=["batch_stats"],
+        )
+        return out["mel_postnet"]
+
+    out = fwd(params, stats, sbatch)
+    assert out.shape == (8, 80, 12)
+    assert np.isfinite(np.asarray(out)).all()
