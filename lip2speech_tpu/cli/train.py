@@ -1,0 +1,154 @@
+"""Training CLI.
+
+Rebuild of ``/root/reference/train.py:61-253`` as a thin loop around the
+jitted sharded train step: dataset select, AdamW(amsgrad), checkpoint
+resume, tf-ratio schedule (+0.1 every 10 epochs, train.py:159-160),
+periodic eval + checkpoint, JSONL/console/PNG logging. bf16 on TPU replaces
+apex AMP; the overflow-skip logic (train.py:188-196) is unnecessary.
+
+Divergence (documented): the reference's eval gating saves only when
+``eval_score < max_eval_score`` with max initialized to 0 — inverted for a
+higher-is-better ESTOI, so it effectively never checkpoints mid-run
+(train.py:199-217). We save when the score improves.
+
+Usage: python -m lip2speech_tpu.cli.train --dataset LRW --root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lip2speech_tpu.cli.common import add_common_args, load_model
+from lip2speech_tpu.config import Config
+from lip2speech_tpu.data import FaceAugmentation, Loader, get_dataset, prepare_batch
+from lip2speech_tpu.eval.evaluate import evaluate_net
+from lip2speech_tpu.parallel import auto_mesh, batch_sharding, create_mesh, replicated
+from lip2speech_tpu.train import checkpoint as ckpt
+from lip2speech_tpu.train import create_train_state, make_optimizer, make_train_step
+from lip2speech_tpu.train.logging_utils import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("lip2speech_tpu train")
+    add_common_args(p)
+    p.add_argument("--finetune_model_path", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--eval_interval", type=int, default=None)
+    p.add_argument("--log_interval", type=int, default=None)
+    p.add_argument("--run_dir", default="runs/default")
+    p.add_argument("--ckpt_dir", default="checkpoints/default")
+    p.add_argument("--data_parallel", type=int, default=-1)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--eval_batches", type=int, default=2)
+    return p.parse_args(argv)
+
+
+def train(args, cfg: Config | None = None) -> dict:
+    cfg = cfg or Config()
+    tc = cfg.train
+    batch_size = args.batch_size or tc.batch_size
+    max_iters = args.max_iters or tc.max_iters
+    eval_interval = args.eval_interval or tc.eval_interval
+    log_interval = args.log_interval or tc.log_interval
+
+    ds = get_dataset(
+        args.dataset, args.root, mode="train", cfg=cfg.data,
+        augmentation=FaceAugmentation(),
+    )
+    if len(ds) == 0:
+        raise RuntimeError(f"empty dataset at {args.root}")
+    eval_ds = get_dataset(args.dataset, args.root, mode="test", cfg=cfg.data)
+    steps_per_epoch = max(len(ds) // batch_size, 1)
+
+    model, variables, _ = load_model(
+        cfg, args.finetune_model_path or args.model_path, batch_size
+    )
+
+    if args.data_parallel == -1:
+        mesh = auto_mesh(batch_size, args.model_parallel)
+    else:
+        mesh = create_mesh(args.data_parallel, args.model_parallel)
+    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+    tx = make_optimizer(cfg, variables["params"])
+    state = create_train_state(cfg, variables)
+    state = jax.device_put(state, replicated(mesh))
+    bshard = batch_sharding(mesh)
+
+    start_it, best_score = 0, -1.0
+    restored = ckpt.restore_checkpoint(args.ckpt_dir, template=state)
+    if restored is not None:
+        payload, extra = restored
+        state = state._replace(
+            step=jnp.asarray(payload["step"]),
+            params=jax.device_put(payload["params"], replicated(mesh)),
+            batch_stats=jax.device_put(payload["batch_stats"], replicated(mesh)),
+            opt_state=jax.device_put(payload["opt_state"], replicated(mesh)),
+        )
+        start_it = int(payload["step"])
+        best_score = float(extra.get("best_score", -1.0))
+        print(f"resumed at step {start_it} (best ESTOI {best_score:.4f})")
+
+    step_fn = make_train_step(cfg, model, tx)
+    logger = MetricLogger(args.run_dir)
+    loader = Loader(
+        ds, batch_size, cfg.data, shuffle=True, infinite=True,
+        num_workers=min(batch_size, os.cpu_count() or 8), seed=tc.seed,
+    )
+    rng = jax.random.PRNGKey(tc.seed)
+
+    it = start_it
+    data_iter = iter(loader)
+    t_step = time.time()
+    for it in range(start_it, max_iters):
+        epoch = it // steps_per_epoch
+        tf_ratio = min(
+            tc.tf_ratio_start + tc.tf_ratio_step * (epoch // tc.tf_ratio_epochs),
+            1.0,
+        )
+        raw = next(data_iter)
+        batch = prepare_batch(
+            jax.device_put({k: jnp.asarray(v) for k, v in raw.items()}, bshard),
+            cfg.audio,
+            cfg.data,
+        )
+        batch.pop("audio"), batch.pop("audio_lengths")
+        state, metrics = step_fn(state, batch, jnp.float32(tf_ratio), rng)
+
+        if (it + 1) % log_interval == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["tf_ratio"] = tf_ratio
+            metrics["epoch"] = epoch
+            logger.scalars(it + 1, metrics)
+            logger.console(it + 1, metrics, total_steps=max_iters)
+
+        if (it + 1) % eval_interval == 0:
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            score = evaluate_net(
+                model, eval_vars, eval_ds, cfg,
+                batch_size=min(32, batch_size), max_batches=args.eval_batches,
+            )
+            logger.scalars(it + 1, {"estoi": score}, prefix="eval/")
+            print(f"[{it + 1}] eval ESTOI {score:.4f} (best {best_score:.4f})")
+            if score > best_score:
+                best_score = score
+                ckpt.save_checkpoint(
+                    args.ckpt_dir, it + 1, state, {"best_score": best_score}
+                )
+
+    ckpt.save_checkpoint(args.ckpt_dir, max_iters, state, {"best_score": best_score})
+    return {"final_step": it + 1, "best_score": best_score}
+
+
+def main(argv=None):
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,8 @@ class DataConfig:
 
     max_video_frames: int = 29
     max_mel_frames: int = 80
-    max_audio_samples: int = 20480  # 1.28 s @ 16 kHz
+    # 79 * 256 hops -> exactly max_mel_frames (=80) STFT frames (center=True)
+    max_audio_samples: int = 20224
     mouth_size: Tuple[int, int] = (96, 96)
     face_size: Tuple[int, int] = (160, 160)
     n_face_crops: int = 2

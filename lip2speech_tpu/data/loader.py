@@ -1,0 +1,86 @@
+"""Threaded prefetching batch loader.
+
+Replaces ``torch.utils.data.DataLoader`` (``/root/reference/train.py:94-100``)
+for the host side: worker threads decode samples (bz2/JPEG release the GIL
+inside cv2/bz2), batches are collated to static shapes and double-buffered
+ahead of the accelerator. Device transfer + normalization + mel extraction
+happen in ``collate.prepare_batch`` on the TPU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from lip2speech_tpu.config import DataConfig
+from lip2speech_tpu.data.collate import collate
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        cfg: DataConfig = DataConfig(),
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+        infinite: bool = False,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.cfg = cfg
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.infinite = infinite
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                while True:
+                    idx = self._epoch_indices()
+                    nb = len(idx) // self.batch_size if self.drop_last else -(
+                        -len(idx) // self.batch_size
+                    )
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        samples = list(pool.map(self.ds.__getitem__, chunk))
+                        q.put(collate(samples, self.cfg))
+                    if not self.infinite:
+                        q.put(None)
+                        return
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,123 @@
+"""LRW corpus reader (precomputed on-disk format).
+
+Reads the exact artifact layout of the reference
+(``/root/reference/datasets/lrw/dataset.py:70-146``): per clip
+``LRW_Faces/<word>/<split>/<id>_face.npz`` and ``..._mouth.npz`` (bz2-pickled
+lists of encoded JPEG frames) plus ``lipread_audio/<word>/<split>/<id>.npz``
+(raw 16 kHz float waveform under key 'data'). The index comes from
+``lrw500_detected_face.csv`` when present, else from walking ``LRW_Faces``
+(the released SAMPLE_LRW fixture ships without the csv).
+
+Host work is decode-only (bz2 + JPEG via cv2); normalization and mel
+extraction happen batched on-device (collate.prepare_batch).
+"""
+
+from __future__ import annotations
+
+import bz2
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+from lip2speech_tpu.config import DataConfig
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target env
+    cv2 = None
+
+
+def load_jpeg_stack(path: str) -> np.ndarray:
+    """bz2-pickled list of encoded JPEGs -> (T, H, W, 3) RGB uint8
+    (lrw/dataset.py:20-24)."""
+    with bz2.BZ2File(path, "r") as f:
+        data = pickle.load(f)
+    frames = [cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1] for buf in data]
+    return np.ascontiguousarray(np.stack(frames))
+
+
+class LRW:
+    """Map-style dataset; ``__getitem__`` returns the host sample dict the
+    collate expects."""
+
+    def __init__(
+        self,
+        root: str,
+        mode: str = "train",
+        cfg: DataConfig = DataConfig(),
+        augmentation=None,
+        rng: np.random.Generator | None = None,
+    ):
+        assert mode in ("train", "test", "val")
+        self.root = root
+        self.mode = mode
+        self.cfg = cfg
+        self.augmentation = augmentation
+        self.rng = rng or np.random.default_rng(0)
+
+        self.items: list[tuple[str, str, str]] = []
+        csv_path = os.path.join(root, "lrw500_detected_face.csv")
+        names: list[str] = []
+        if os.path.exists(csv_path):
+            with open(csv_path) as f:
+                for line in f.read().splitlines():
+                    name = line.split(",")[0]
+                    if name.split("/")[-2] == mode:
+                        names.append(name)
+        else:  # fixture layout: walk LRW_Faces for *_face.npz of this split
+            faces_root = os.path.join(root, "LRW_Faces")
+            for dirpath, _, files in sorted(os.walk(faces_root)):
+                if os.path.basename(dirpath) != mode:
+                    continue
+                for fn in sorted(files):
+                    if fn.endswith("_face.npz"):
+                        rel = os.path.relpath(
+                            os.path.join(dirpath, fn[: -len("_face.npz")]),
+                            faces_root,
+                        )
+                        names.append(rel)
+
+        for name in names:
+            self.items.append(
+                (
+                    os.path.join(root, "LRW_Faces", f"{name}_face.npz"),
+                    os.path.join(root, "LRW_Faces", f"{name}_mouth.npz"),
+                    os.path.join(root, "lipread_audio", f"{name}.npz"),
+                )
+            )
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> dict:
+        face_path, mouth_path, audio_path = self.items[idx]
+        faces = load_jpeg_stack(face_path)
+        mouth = load_jpeg_stack(mouth_path)
+        audio = np.load(audio_path)["data"].astype(np.float32)
+
+        if self.augmentation is not None:
+            mouth, faces = self.augmentation(mouth, faces)
+
+        # two random face crops resized to face_size (lrw/dataset.py:140-141)
+        n = self.cfg.n_face_crops
+        ids = (self.rng.random(n) * len(faces)).astype(np.int64)
+        crops = np.stack(
+            [
+                cv2.resize(faces[i], self.cfg.face_size[::-1])
+                for i in ids
+            ]
+        )
+
+        if mouth.shape[1:3] != tuple(self.cfg.mouth_size):
+            mouth = np.stack(
+                [cv2.resize(f, self.cfg.mouth_size[::-1]) for f in mouth]
+            )
+
+        return {
+            "mouth": mouth,  # (T, 96, 96, 3) uint8
+            "faces": crops,  # (n_crops, 160, 160, 3) uint8
+            "audio": audio,  # (S,) float32
+            "path": audio_path,
+        }

@@ -424,7 +424,7 @@ class Decoder(nn.Module):
             tf_ratio_arr = jnp.asarray(tf_ratio, jnp.float32)
             tf_budget = jnp.floor(tf_ratio_arr * M).astype(jnp.int32)
 
-        pos_dec = positional_encoding(c.max_decoder_steps, F)[:M]
+        pos_dec = positional_encoding(max(c.max_decoder_steps, M), F)[:M]
         step_keys = jax.random.split(rngs.get("dropout", jax.random.PRNGKey(0)), M)
 
         step = _build_step(c, p, enc, train, tf_ratio_arr, tf_budget)

@@ -1,4 +1,5 @@
-from lip2speech_tpu.parallel.mesh import (  # noqa: F401
+from lip2speech_tpu.parallel.mesh import (
+    auto_mesh,  # noqa: F401
     create_mesh,
     partition_params,
     shard_pytree,

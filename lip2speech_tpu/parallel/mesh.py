@@ -18,6 +18,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def auto_mesh(batch_size: int, n_model: int = 1) -> Mesh:
+    """Largest data axis that divides both the batch and the device count
+    (the single-chip and tiny-batch cases degrade gracefully)."""
+    avail = len(jax.devices()) // n_model
+    n_data = 1
+    for d in range(1, avail + 1):
+        if batch_size % d == 0 and (avail % d == 0 or d == avail):
+            n_data = max(n_data, d)
+    return create_mesh(n_data=n_data, n_model=n_model,
+                       devices=jax.devices()[: n_data * n_model])
+
+
 def create_mesh(
     n_data: int = -1,
     n_model: int = 1,

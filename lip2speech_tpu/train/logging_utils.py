@@ -1,0 +1,90 @@
+"""Training observability.
+
+Replaces the reference's three channels (SURVEY.md §5 — per-model file log
+with source dump, TensorBoard, PNG dumps to CWD;
+``/root/reference/train_utils/tensorboard_logger.py``) with:
+  * scalar metrics appended as JSONL (host-agnostic, greppable),
+  * console lines with step timing + ETA (train.py:223-239 equivalent),
+  * mel / attention / gate PNG artifacts via matplotlib Agg,
+  * optional ``jax.profiler`` trace capture around chosen steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+class MetricLogger:
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._t0 = time.time()
+        self._last = self._t0
+
+    def scalars(self, step: int, values: dict, prefix: str = ""):
+        now = time.time()
+        rec = {
+            "step": step,
+            "time": now - self._t0,
+            "step_time": now - self._last,
+            **{f"{prefix}{k}": float(v) for k, v in values.items()},
+        }
+        self._last = now
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def console(self, step: int, values: dict, total_steps: int | None = None):
+        msg = f"[{step}] " + " ".join(f"{k}={float(v):.4f}" for k, v in values.items())
+        if total_steps:
+            rate = step / max(time.time() - self._t0, 1e-9)
+            eta = (total_steps - step) / max(rate, 1e-9)
+            msg += f" eta={eta / 3600:.1f}h"
+        print(msg, flush=True)
+
+    def images(self, step: int, mel_pred=None, mel_target=None, attention=None, gate=None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        def save(arr, name, **kw):
+            fig, ax = plt.subplots(figsize=(8, 3))
+            im = ax.imshow(np.asarray(arr), aspect="auto", origin="lower", **kw)
+            fig.colorbar(im, ax=ax)
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.run_dir, f"{name}_{step}.png"), dpi=80)
+            plt.close(fig)
+
+        if mel_pred is not None:
+            save(mel_pred, "mel_predicted")
+        if mel_target is not None:
+            save(mel_target, "mel_target")
+        if attention is not None:
+            save(attention, "alignment", interpolation="nearest")
+        if gate is not None:
+            fig, ax = plt.subplots(figsize=(8, 2))
+            ax.plot(np.asarray(gate))
+            fig.savefig(os.path.join(self.run_dir, f"gate_{step}.png"), dpi=80)
+            plt.close(fig)
+
+
+def profile_steps(log_dir: str):
+    """Context manager capturing a jax profiler trace (SURVEY.md §5: the
+    reference has no tracing; this is the TPU-native hook)."""
+    import jax
+
+    class _Ctx:
+        def __enter__(self):
+            jax.profiler.start_trace(log_dir)
+            return self
+
+        def __exit__(self, *exc):
+            jax.profiler.stop_trace()
+
+    return _Ctx()

@@ -1,0 +1,83 @@
+"""Checkpoint converter tests: the torch<->flax map must be complete
+(every param leaf covered) and exactly invertible."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lip2speech_tpu.config import ModelConfig
+from lip2speech_tpu.models import Lip2Speech
+from lip2speech_tpu.train import checkpoint as ckpt
+
+CFG = ModelConfig()
+
+
+@pytest.fixture(scope="module")
+def variables():
+    model = Lip2Speech(CFG)
+    video = jnp.zeros((1, 3, 96, 96, 3))
+    faces = jnp.zeros((1, 2, 160, 160, 3))
+    mels = jnp.zeros((1, 80, 8))
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+    return Lip2Speech(CFG).init(
+        {"params": jax.random.PRNGKey(0)},
+        video, faces, mels, 0.5, None, rngs, train=False,
+    )
+
+
+def _paths(tree, prefix=()):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out += _paths(v, prefix + (k,))
+        else:
+            out.append(prefix + (k,))
+    return out
+
+
+def test_mapping_is_complete(variables):
+    entries = ckpt.build_entries(CFG)
+    mapped = {ckpt._normalize_fpath(p)[1:] for _, p, _ in entries}
+    actual_params = set(map(tuple, _paths(jax.tree.map(np.asarray, dict(variables["params"])))))
+    actual_stats = set(map(tuple, _paths(jax.tree.map(np.asarray, dict(variables["batch_stats"])))))
+
+    unmapped_params = {p for p in actual_params if p not in mapped}
+    unmapped_stats = {p for p in actual_stats if p not in mapped}
+    assert not unmapped_params, sorted(unmapped_params)[:10]
+    assert not unmapped_stats, sorted(unmapped_stats)[:10]
+
+    ghost = {p for p in mapped if p not in actual_params and p not in actual_stats}
+    assert not ghost, sorted(ghost)[:10]
+
+
+def test_roundtrip_exact(variables):
+    sd = ckpt.flax_to_torch(variables, CFG)
+    # every torch tensor must have torch-conventional leading dims
+    assert sd["decoder.fc_out.linear_layer.weight"].shape == (80, 512)
+    assert sd["encoder.frontend3D.0.weight"].shape == (24, 3, 5, 7, 7)
+    assert sd["decoder.BOS"].shape == (1, 1, 80)
+
+    back = ckpt.torch_to_flax(sd, CFG)
+    for path in _paths(back["params"]):
+        a = np.asarray(ckpt._get(back["params"], path))
+        b = np.asarray(ckpt._get(variables["params"], path))
+        np.testing.assert_array_equal(a, b, err_msg=str(path))
+    for path in _paths(back["batch_stats"]):
+        a = np.asarray(ckpt._get(back["batch_stats"], path))
+        b = np.asarray(ckpt._get(variables["batch_stats"], path))
+        np.testing.assert_array_equal(a, b, err_msg=str(path))
+
+
+def test_speaker_split():
+    fake = {
+        "speaker_encoder.lstm.weight_ih_l0": np.zeros((1024, 40)),
+        "decoder.temperature": np.ones((1,)),
+    }
+    speaker = {k[len("speaker_encoder."):]: v for k, v in fake.items()
+               if k.startswith("speaker_encoder.")}
+    assert "lstm.weight_ih_l0" in speaker

@@ -1,0 +1,88 @@
+"""Data pipeline tests: real SAMPLE_LRW fixture (read-only) + synthetic
+fixtures, static-shape collate, on-device prepare_batch, loader."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lip2speech_tpu.config import AudioConfig, DataConfig
+from lip2speech_tpu.data import (
+    LRW,
+    FaceAugmentation,
+    Loader,
+    collate,
+    make_sample_lrw,
+    prepare_batch,
+)
+
+REAL_ROOT = "/root/reference/Datasets/SAMPLE_LRW"
+DCFG = DataConfig()
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lrw"))
+    make_sample_lrw(root, n_clips=4)
+    return root
+
+
+def test_lrw_reads_real_fixture():
+    if not os.path.isdir(REAL_ROOT):
+        pytest.skip("real fixture not present")
+    ds = LRW(REAL_ROOT, mode="test", cfg=DCFG)
+    assert len(ds) == 10
+    s = ds[0]
+    assert s["mouth"].shape == (29, 96, 96, 3)
+    assert s["mouth"].dtype == np.uint8
+    assert s["faces"].shape == (2, 160, 160, 3)
+    assert s["audio"].shape == (19456,)
+
+
+def test_lrw_reads_synth_fixture(synth_root):
+    ds = LRW(synth_root, mode="test", cfg=DCFG)
+    assert len(ds) == 4
+    s = ds[1]
+    assert s["mouth"].shape == (29, 96, 96, 3)
+
+
+def test_collate_and_prepare_batch(synth_root):
+    ds = LRW(synth_root, mode="test", cfg=DCFG)
+    raw = collate([ds[i] for i in range(4)], DCFG)
+    assert raw["mouth_u8"].shape == (4, 29, 96, 96, 3)
+    assert raw["audio"].shape == (4, DCFG.max_audio_samples)
+    assert (raw["mel_lengths"] == 1 + raw["audio_lengths"] // 256).all()
+
+    batch = prepare_batch(
+        {k: jnp.asarray(v) for k, v in raw.items()}, AudioConfig(), DCFG
+    )
+    assert batch["mel"].shape == (4, 80, DCFG.max_mel_frames)
+    mel = np.asarray(batch["mel"])
+    gate = np.asarray(batch["gate"])
+    for i in range(4):
+        m = int(raw["mel_lengths"][i])
+        # padding equals reference pad value; gate fires from M-1 on
+        np.testing.assert_allclose(mel[i, :, m:], DCFG.mel_pad_value)
+        assert (gate[i, : m - 1] == 0).all() and (gate[i, m - 1 :] == 1).all()
+    # video normalized: ImageNet stats => values roughly in [-3, 3]
+    v = np.asarray(batch["video"])
+    assert v.min() > -4 and v.max() < 4
+
+
+def test_loader_iterates(synth_root):
+    ds = LRW(synth_root, mode="test", cfg=DCFG)
+    loader = Loader(ds, batch_size=2, cfg=DCFG, num_workers=2, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["mouth_u8"].shape[0] == 2
+
+
+def test_augmentation_flip_consistency():
+    rng = np.random.default_rng(1)
+    aug = FaceAugmentation(p_flip=1.0, rng=rng)
+    mouth = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    faces = mouth.copy()
+    m2, f2 = aug(mouth, faces)
+    np.testing.assert_array_equal(m2, mouth[:, :, ::-1, :])
+    np.testing.assert_array_equal(f2, faces[:, :, ::-1, :])
