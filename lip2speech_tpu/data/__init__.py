@@ -19,11 +19,11 @@ def get_dataset(name: str, root: str, mode: str = "train", cfg=None, **kw):
 
         return WILD(root, mode=mode, cfg=cfg, **kw)
     if name == "GRID":
-        from lip2speech_tpu.data.grid import GRID
+        from lip2speech_tpu.data.streaming import GRID
 
         return GRID(root, mode=mode, cfg=cfg, **kw)
     if name == "AVSPEECH":
-        from lip2speech_tpu.data.avspeech import AVSpeech
+        from lip2speech_tpu.data.streaming import AVSpeech
 
         return AVSpeech(root, mode=mode, cfg=cfg, **kw)
     raise ValueError(f"unknown dataset {name}")

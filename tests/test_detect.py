@@ -1,0 +1,65 @@
+"""Face-detector stack tests: native JAX execution of the reference's
+compiled graphs (RFB-320 ONNX + mobilefacenet OpenVINO IR) + NMS."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lip2speech_tpu.detect import hard_nms, iou_matrix, nms_jax
+
+MODELS = "/root/reference/datasets/wild/fast_detector/models"
+FIXTURE = "/root/reference/Datasets/SAMPLE_LRW/LRW_Faces/ABOUT/test/ABOUT_00001_face.npz"
+
+
+def test_iou_and_hard_nms():
+    boxes = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], np.float32
+    )
+    iou = iou_matrix(boxes, boxes)
+    assert iou[0, 0] == pytest.approx(1.0)
+    assert iou[0, 2] == 0.0
+    bp = np.concatenate([boxes, [[0.9], [0.8], [0.95]]], axis=1)
+    picked = hard_nms(bp, iou_threshold=0.3)
+    # overlapping pair collapses to the higher-scoring one
+    assert len(picked) == 2
+    assert picked[:, 4].max() == pytest.approx(0.95)
+
+
+def test_nms_jax_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    centers = rng.rand(40, 2) * 100
+    sizes = 5 + rng.rand(40, 2) * 10
+    boxes = np.concatenate([centers - sizes, centers + sizes], 1).astype(np.float32)
+    scores = rng.rand(40).astype(np.float32)
+
+    picked = hard_nms(np.concatenate([boxes, scores[:, None]], 1), 0.3)
+    jb, js, valid = nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.3, 0.0, max_out=40)
+    got = np.asarray(js)[np.asarray(valid)]
+    np.testing.assert_allclose(np.sort(got), np.sort(picked[:, 4]), atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(MODELS), reason="reference models absent")
+def test_detector_finds_real_face():
+    import bz2
+    import pickle
+
+    import cv2
+
+    from lip2speech_tpu.detect import FaceDetector
+
+    det = FaceDetector()
+    with bz2.BZ2File(FIXTURE, "r") as f:
+        frames = pickle.load(f)
+    imgs = np.stack([cv2.imdecode(b, cv2.IMREAD_COLOR)[:, :, ::-1] for b in frames[:2]])
+    res = det(imgs)
+    assert all(r is not None for r in res)
+    for box, lm in res:
+        assert lm.shape == (68, 2)
+        # eyes above mouth, left eye left of right eye
+        assert lm[36, 0] < lm[45, 0]
+        assert lm[36:48, 1].mean() < lm[48:68, 1].mean()
+        x1, y1, x2, y2 = box
+        assert x2 > x1 and y2 > y1
