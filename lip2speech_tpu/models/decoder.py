@@ -65,7 +65,7 @@ def adaptive_avg_pool_matrix(in_len: int, out_len: int) -> np.ndarray:
 
 def adaptive_avg_pool(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """x: (B, T, C) -> (B, out_len, C)."""
-    mat = jnp.asarray(adaptive_avg_pool_matrix(x.shape[1], out_len))
+    mat = jnp.asarray(adaptive_avg_pool_matrix(x.shape[1], out_len), x.dtype)
     return jnp.einsum("btc,ts->bsc", x, mat)
 
 
@@ -188,7 +188,7 @@ class ContentEncoder(nn.Module):
 
         flat = logits.reshape(-1, vocab)
         if train:
-            g = jax.random.gumbel(gumbel_key, flat.shape)
+            g = jax.random.gumbel(gumbel_key, flat.shape, flat.dtype)
             z = jax.nn.softmax((flat + g) / c.gumbel_tau, axis=-1)
         else:
             z = jax.nn.softmax(flat / c.gumbel_tau, axis=-1)
@@ -211,7 +211,8 @@ def _build_step(cfg: ModelConfig, p, enc, train, tf_ratio, tf_budget):
     """
 
     def dense(pp, x):
-        return jnp.dot(x, pp["kernel"], preferred_element_type=jnp.float32) + pp["bias"]
+        out = jnp.dot(x, pp["kernel"], preferred_element_type=jnp.float32) + pp["bias"]
+        return out.astype(x.dtype)  # f32 MXU accumulation, compute-dtype carry
 
     def dropout(key, x, rate):
         if not train:
@@ -366,6 +367,7 @@ class Decoder(nn.Module):
         enc_out = enc_out + att_site[:, None, :] + residual
 
         pos = positional_encoding(c.max_encoder_positions, F)[:T][None]
+        pos = pos.astype(enc_out.dtype)  # keep bf16 paths bf16
         k_bank = MultiHopConv(F, name="K_bank")(enc_out, train)
         k_bank = PSine(F, name="K_psine")(k_bank) + pos
         v_bank = MultiHopConv(F, name="V_bank")(enc_out, train)
@@ -409,8 +411,9 @@ class Decoder(nn.Module):
         p = self._ar_params()
         bos = self.param("BOS", lambda k, s: jax.random.normal(k, s), (1, c.n_mels))
 
+        dtype = encoder_outputs.dtype
         if inference:
-            teacher = jnp.zeros((B, M, c.n_mels))
+            teacher = jnp.zeros((B, M, c.n_mels), dtype)
             rand_draws = jnp.zeros((M,))
             tf_ratio_arr = jnp.float32(1.0)
             tf_budget = jnp.int32(0)
@@ -424,7 +427,7 @@ class Decoder(nn.Module):
             tf_ratio_arr = jnp.asarray(tf_ratio, jnp.float32)
             tf_budget = jnp.floor(tf_ratio_arr * M).astype(jnp.int32)
 
-        pos_dec = positional_encoding(max(c.max_decoder_steps, M), F)[:M]
+        pos_dec = positional_encoding(max(c.max_decoder_steps, M), F)[:M].astype(dtype)
         step_keys = jax.random.split(rngs.get("dropout", jax.random.PRNGKey(0)), M)
 
         step = _build_step(c, p, enc, train, tf_ratio_arr, tf_budget)
@@ -435,7 +438,7 @@ class Decoder(nn.Module):
             jnp.tile(bos, (B, 1)),
             jnp.zeros((), jnp.int32),
         )
-        xs = (jnp.swapaxes(teacher, 0, 1), pos_dec, rand_draws, step_keys)
+        xs = (jnp.swapaxes(teacher, 0, 1).astype(dtype), pos_dec, rand_draws, step_keys)
         _, (outputs, stops, attn) = jax.lax.scan(step, init, xs)
 
         outputs = jnp.transpose(outputs, (1, 2, 0))  # (B, n_mels, M)

@@ -137,9 +137,12 @@ def lstm_cell_step(params: dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray)
         + params["b"]
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    c32 = c.astype(jnp.float32)
+    c_new = jax.nn.sigmoid(f) * c32 + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
+    # matmuls accumulate f32 on the MXU; the carry returns in the compute
+    # dtype so bf16 scans stay bf16
+    return h_new.astype(x.dtype), c_new.astype(x.dtype)
 
 
 def _lstm_param(key, in_dim, hidden):

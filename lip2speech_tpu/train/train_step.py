@@ -27,6 +27,22 @@ from lip2speech_tpu.train.losses import lip2speech_loss
 TRAINABLE_TOP = ("encoder", "decoder")
 
 
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast float32 leaves (params/stats/inputs) to the compute dtype.
+
+    bf16 policy: master params stay f32 in the optimizer; the forward runs
+    on a bf16 copy so every matmul/conv hits the MXU at full rate. This is
+    the TPU-native replacement for apex AMP O2 (reference train.py:106-107)
+    — no loss scaling needed in bf16.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
@@ -85,17 +101,30 @@ def train_step(
     names = ["gumbel", "teacher", "dropout", "postnet_dropout", "encoder_dropout"]
     keys = dict(zip(names, jax.random.split(step_rng, len(names))))
 
+    bf16 = cfg.train.bf16
+    fwd_batch = cast_floats(batch, jnp.bfloat16) if bf16 else batch
+
     def loss_fn(params):
+        fwd_params = cast_floats(params, jnp.bfloat16) if bf16 else params
+        fwd_stats = (
+            cast_floats(state.batch_stats, jnp.bfloat16) if bf16 else state.batch_stats
+        )
         outputs, updates = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["video"],
-            batch.get("faces"),
-            batch["mel"],
+            {"params": fwd_params, "batch_stats": fwd_stats},
+            fwd_batch["video"],
+            fwd_batch.get("faces"),
+            fwd_batch["mel"],
             tf_ratio,
-            batch.get("speaker_embedding"),  # bypasses the face net if given
+            fwd_batch.get("speaker_embedding"),  # bypasses the face net if given
             keys,
             train=True,
             mutable=["batch_stats"],
+        )
+        outputs = cast_floats(outputs, jnp.float32) if bf16 else outputs
+        new_stats = (
+            cast_floats(updates["batch_stats"], jnp.float32)
+            if bf16
+            else updates["batch_stats"]
         )
         losses = lip2speech_loss(
             outputs,
@@ -103,7 +132,7 @@ def train_step(
             batch["gate"],
             postnet_weight=cfg.train.postnet_loss_weight,
         )
-        return losses["total"], (losses, updates["batch_stats"])
+        return losses["total"], (losses, new_stats)
 
     (loss, (losses, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True

@@ -179,3 +179,48 @@ def test_tensor_parallel_shardings_compile(setup):
     out = fwd(params, stats, sbatch)
     assert out.shape == (8, 80, 12)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_train_step(setup):
+    import dataclasses
+
+    model, variables, batch = setup
+    variables = _fresh(variables)
+    cfg16 = dataclasses.replace(CFG, train=dataclasses.replace(CFG.train, bf16=True))
+    tx = make_optimizer(cfg16, variables["params"])
+    state = create_train_state(cfg16, variables)
+    step_fn = make_train_step(cfg16, model, tx)
+    state, metrics = step_fn(state, batch, jnp.float32(0.5), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+    # master params remain f32 after the bf16 step
+    leaf = jax.tree.leaves(state.params["decoder"])[0]
+    assert leaf.dtype == jnp.float32
+    # bf16 stats restored to f32
+    sleaf = jax.tree.leaves(state.batch_stats)[0]
+    assert sleaf.dtype == jnp.float32
+
+
+def test_bf16_forward_close_to_f32(setup):
+    from lip2speech_tpu.train.train_step import cast_floats
+
+    model, variables, batch = setup
+    rngs = {
+        "gumbel": jax.random.PRNGKey(1),
+        "teacher": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+
+    def fwd(v, b):
+        return model.apply(
+            v, b["video"], None, b["mel"], 1.0, b["speaker_embedding"], rngs,
+            train=False,
+        )["mel_postnet"]
+
+    ref = np.asarray(fwd(variables, batch))
+    v16 = cast_floats(dict(variables), jnp.bfloat16)
+    b16 = cast_floats(dict(batch), jnp.bfloat16)
+    got = np.asarray(fwd(v16, b16)).astype(np.float32)
+    # bf16 has ~3 decimal digits; AR error compounds over steps, so compare
+    # correlation rather than absolute closeness
+    c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert c > 0.98, c
