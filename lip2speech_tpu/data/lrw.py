@@ -31,9 +31,19 @@ except ImportError:  # pragma: no cover - cv2 is present in the target env
 
 def load_jpeg_stack(path: str) -> np.ndarray:
     """bz2-pickled list of encoded JPEGs -> (T, H, W, 3) RGB uint8
-    (lrw/dataset.py:20-24)."""
+    (lrw/dataset.py:20-24).
+
+    Decode goes through the native libjpeg module (GIL-free, so Loader
+    threads decode clips in true parallel; lip2speech_tpu/native), falling
+    back to cv2 when the native build is unavailable."""
     with bz2.BZ2File(path, "r") as f:
         data = pickle.load(f)
+
+    from lip2speech_tpu.native import decode_jpeg_stack_native
+
+    out = decode_jpeg_stack_native([np.asarray(b).tobytes() for b in data])
+    if out is not None:
+        return out
     frames = [cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1] for buf in data]
     return np.ascontiguousarray(np.stack(frames))
 

@@ -86,3 +86,25 @@ def test_augmentation_flip_consistency():
     m2, f2 = aug(mouth, faces)
     np.testing.assert_array_equal(m2, mouth[:, :, ::-1, :])
     np.testing.assert_array_equal(f2, faces[:, :, ::-1, :])
+
+
+def test_native_jpeg_decoder_matches_cv2():
+    import bz2
+    import pickle
+
+    import cv2
+
+    from lip2speech_tpu.native import decode_jpeg_stack_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native decoder unavailable (no gcc/libjpeg)")
+    path = os.path.join(
+        REAL_ROOT, "LRW_Faces/ABOUT/test/ABOUT_00001_mouth.npz"
+    )
+    if not os.path.isfile(path):
+        pytest.skip("fixture absent")
+    with bz2.BZ2File(path, "r") as f:
+        data = pickle.load(f)
+    native = decode_jpeg_stack_native([np.asarray(b).tobytes() for b in data])
+    ref = np.stack([cv2.imdecode(b, cv2.IMREAD_COLOR)[:, :, ::-1] for b in data])
+    np.testing.assert_array_equal(native, ref)
