@@ -32,6 +32,11 @@ def griffin_lim(
 ) -> jnp.ndarray:
     """Reconstruct a waveform from a power/magnitude spectrogram.
 
+    Complex-free implementation: phases live as (cos, sin) pairs and every
+    STFT/ISTFT is a real DFT matmul on the MXU (XLA's TPU FFT lowering is
+    far slower than the systolic array for n_fft=1024). Same momentum
+    update rule as torchaudio GriffinLim.
+
     Args:
       specgram: ``(..., n_freqs, T)`` nonnegative spectrogram.
       power: exponent of the input (2.0 = power, as torchaudio default).
@@ -43,39 +48,47 @@ def griffin_lim(
     if rand_init:
         if key is None:
             key = jax.random.PRNGKey(0)
-        angles = jax.random.uniform(
+        theta = jax.random.uniform(
             key, magnitude.shape, minval=-jnp.pi, maxval=jnp.pi
         )
-        angles = jnp.exp(1j * angles).astype(jnp.complex64)
+        ang_re, ang_im = jnp.cos(theta), jnp.sin(theta)
     else:
-        angles = jnp.ones(magnitude.shape, jnp.complex64)
+        ang_re = jnp.ones_like(magnitude)
+        ang_im = jnp.zeros_like(magnitude)
 
     t_frames = magnitude.shape[-1]
     # ISTFT(center=True) of T frames yields (T-1)*hop samples.
     n_samples = (t_frames - 1) * cfg.hop_length
+    mom = momentum / (1.0 + momentum)
 
     def body(_, carry):
-        angles, tprev = carry
-        inverse = stft_ops.istft(
-            magnitude * angles,
+        ang_re, ang_im, tp_re, tp_im = carry
+        inverse = stft_ops.istft_matmul(
+            magnitude * ang_re,
+            magnitude * ang_im,
             cfg.n_fft,
             cfg.hop_length,
             cfg.win_length,
             window,
             length=n_samples,
         )
-        rebuilt = stft_ops.stft(
+        rb_re, rb_im = stft_ops.stft_matmul(
             inverse, cfg.n_fft, cfg.hop_length, cfg.win_length, window
-        )[..., :t_frames]
-        new_angles = rebuilt - tprev * (momentum / (1.0 + momentum))
-        new_angles = new_angles / jnp.maximum(jnp.abs(new_angles), 1e-16)
-        return new_angles, rebuilt
+        )
+        rb_re = rb_re[..., :t_frames]
+        rb_im = rb_im[..., :t_frames]
+        new_re = rb_re - tp_re * mom
+        new_im = rb_im - tp_im * mom
+        norm = jnp.maximum(jnp.sqrt(new_re**2 + new_im**2), 1e-16)
+        return new_re / norm, new_im / norm, rb_re, rb_im
 
-    angles, _ = jax.lax.fori_loop(
-        0, n_iter, body, (angles, jnp.zeros_like(angles))
+    z = jnp.zeros_like(magnitude)
+    ang_re, ang_im, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (ang_re, ang_im, z, z)
     )
-    wav = stft_ops.istft(
-        magnitude * angles,
+    wav = stft_ops.istft_matmul(
+        magnitude * ang_re,
+        magnitude * ang_im,
         cfg.n_fft,
         cfg.hop_length,
         cfg.win_length,

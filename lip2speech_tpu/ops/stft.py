@@ -156,6 +156,68 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int, n_fft: int) -> jnp.ndarra
     return out.at[..., idx.reshape(-1)].add(frames.reshape(*batch, -1))
 
 
+@functools.lru_cache(maxsize=8)
+def _idft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT bases, (n_freqs, n_fft): time = re @ C + im @ S."""
+    n_freqs = n_fft // 2 + 1
+    k = np.arange(n_freqs)[:, None]
+    t = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * t / n_fft
+    w = np.full((n_freqs, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    c = (w * np.cos(ang) / n_fft).astype(np.float32)
+    s = (-w * np.sin(ang) / n_fft).astype(np.float32)
+    return c, s
+
+
+def istft_matmul(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """MXU-path inverse STFT on (real, imag) pairs ``(..., n_freqs, T)``.
+
+    Keeps the whole Griffin-Lim loop complex-free and on the systolic
+    array (TPU FFT lowering is slow; two (T x n_freqs)(n_freqs x n_fft)
+    matmuls per frame batch are not).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, jnp.float32)
+    window = _pad_window(window, n_fft)
+
+    c, s = _idft_matrices(n_fft)
+    re_t = jnp.swapaxes(re, -1, -2)  # (..., T, n_freqs)
+    im_t = jnp.swapaxes(im, -1, -2)
+    frames = (
+        jnp.matmul(re_t, jnp.asarray(c), preferred_element_type=jnp.float32)
+        + jnp.matmul(im_t, jnp.asarray(s), preferred_element_type=jnp.float32)
+    )
+    frames = frames * window
+    y = _overlap_add(frames, hop_length, n_fft)
+
+    t = re.shape[-1]
+    wsq = jnp.tile(window * window, (t, 1))
+    norm = _overlap_add(wsq, hop_length, n_fft)
+    y = y / jnp.maximum(norm, 1e-11)
+
+    if center:
+        pad = n_fft // 2
+        y = y[..., pad:]
+        if length is None:
+            y = y[..., : y.shape[-1] - pad]
+    if length is not None:
+        y = y[..., :length]
+    return y
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int = 1024,

@@ -164,3 +164,12 @@ def test_ops_are_jittable_and_batched():
     out = fn(x)
     assert out.shape == (3, 80, 77)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_istft_matmul_matches_istft():
+    x = _rand_wav()
+    spec = stft_ops.stft(jnp.asarray(x))
+    re, im = jnp.real(spec), jnp.imag(spec)
+    a = np.asarray(stft_ops.istft_matmul(re, im, length=x.shape[-1]))
+    b = np.asarray(stft_ops.istft(spec, length=x.shape[-1]))
+    np.testing.assert_allclose(a, b, atol=2e-4)
