@@ -1,16 +1,21 @@
 """End-of-round benchmark. Prints ONE JSON line.
 
 Metric: full LRW inference throughput on one chip — silent video + face
-crop -> 300-step AR mel decode -> NNLS mel inversion + 64-iter Griffin-Lim
-waveform — i.e. the reference demo/eval hot path end to end on device.
+crop -> 300-step AR mel decode -> NNLS mel inversion + 64-iter matmul-DFT
+Griffin-Lim waveform — the reference demo/eval hot path end to end on
+device, bf16 model compute.
+
+Timing forces a data-dependent host read per call (block_until_ready does
+not actually synchronize through the axon TPU tunnel).
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 ``REFERENCE_CLIPS_PER_SEC`` is a documented estimate of the PyTorch
-pipeline on a V100: the per-step Python AR loop (decoder.py:353, ~300
-sequential small-kernel steps) plus InverseMelScale (256 SGD iterations)
-and GriffinLim(256) put it at ~1 clip/sec; we use 1.0 until a measured
-number exists. BASELINE.json north star: >= 5x reference on v5e-8 —
-vs_baseline here is per chip.
+pipeline on a V100: the per-step Python AR loop (decoder.py:353, 300
+sequential small-kernel iterations with ~10 kernel launches each) plus
+InverseMelScale (256 SGD iterations) and GriffinLim(256) put it at about
+1 clip/sec end to end; we use 1.0 until a measured number exists.
+BASELINE.json north star: >= 5x reference on v5e-8 — vs_baseline here is
+per chip.
 """
 
 from __future__ import annotations
@@ -20,9 +25,11 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REFERENCE_CLIPS_PER_SEC = 1.0  # documented estimate, see module docstring
-BATCH = 32
+BATCH = 64
+GL_ITERS = 64
 N_ITERS = 5
 
 
@@ -30,6 +37,7 @@ def main():
     from lip2speech_tpu.config import Config
     from lip2speech_tpu.models import Lip2Speech
     from lip2speech_tpu.ops import griffin_lim as gl_ops
+    from lip2speech_tpu.train.train_step import cast_floats
 
     cfg = Config()
     model = Lip2Speech(cfg.model)
@@ -48,22 +56,29 @@ def main():
         {**rngs, "teacher": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
         train=False,
     )
+    variables = cast_floats(variables, jnp.bfloat16)
+    video = video.astype(jnp.bfloat16)
+    faces = faces.astype(jnp.bfloat16)
 
     @jax.jit
     def full_inference(vars_, video, faces, key):
         out = model.apply(vars_, video, faces, None, 1.0, None, rngs, train=False)
-        wav = gl_ops.mel_to_audio(out["mel_postnet"], key, cfg.audio, n_iter=64)
-        return wav, out["lengths"]
+        mel = out["mel_postnet"].astype(jnp.float32)
+        wav = gl_ops.mel_to_audio(mel, key, cfg.audio, n_iter=GL_ITERS)
+        # data-dependent scalar forces real completion through the tunnel
+        return jnp.sum(wav), out["lengths"]
 
     key = jax.random.PRNGKey(0)
-    wav, _ = full_inference(variables, video, faces, key)  # compile
-    jax.block_until_ready(wav)
+    s, _ = full_inference(variables, video, faces, key)
+    float(s)  # compile + sync
 
-    t0 = time.time()
+    ts = []
     for i in range(N_ITERS):
-        wav, lengths = full_inference(variables, video, faces, jax.random.fold_in(key, i))
-    jax.block_until_ready(wav)
-    dt = (time.time() - t0) / N_ITERS
+        t0 = time.time()
+        s, _ = full_inference(variables, video, faces, jax.random.fold_in(key, i))
+        float(s)
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
     clips_per_sec = b / dt
 
     print(
@@ -71,7 +86,7 @@ def main():
             {
                 "metric": "lrw_full_inference_clips_per_sec",
                 "value": round(clips_per_sec, 2),
-                "unit": "clips/s/chip (video->waveform, 300-step AR + 64-iter GL)",
+                "unit": "clips/s/chip (video->waveform, 300-step AR + 64-iter GL, bf16)",
                 "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 2),
             }
         )

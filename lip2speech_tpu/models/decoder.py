@@ -396,6 +396,7 @@ class Decoder(nn.Module):
         tf_ratio: jnp.ndarray | float = 1.0,
         rngs: dict[str, jax.Array] | None = None,
         train: bool = True,
+        return_ar_inputs: bool = False,
     ) -> dict[str, Any]:
         c = self.cfg
         F = c.ffn_hidden_dim
@@ -456,7 +457,7 @@ class Decoder(nn.Module):
             fired.any(axis=1), jnp.argmax(fired, axis=1) + 1, M
         )
 
-        return {
+        result = {
             "mel": outputs,
             "mel_postnet": post_preds,
             "gate": stops,
@@ -465,3 +466,11 @@ class Decoder(nn.Module):
             "content_dist": enc["content_dist"],
             "lengths": lengths,
         }
+        if return_ar_inputs:
+            # hand the pallas AR kernel exactly what the scan consumed
+            result["ar_inputs"] = {
+                "p": p,
+                "enc": enc,
+                "bos": jnp.tile(bos, (B, 1)),
+            }
+        return result
