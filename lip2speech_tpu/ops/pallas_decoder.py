@@ -12,6 +12,12 @@ MXU (``preferred_element_type``); attention over the short encoder axis
 Inference-path only (no dropout / teacher forcing) — the serving hot loop.
 Numerics match the lax.scan decoder to bf16 tolerance (see
 tests/test_pallas_decoder.py, interpret mode).
+
+Measured on v5e (B=64, 300 steps): 29.1 ms vs 30.0 ms for the lax.scan
+path — XLA's scan is already compute-bound here, so the kernel is kept as
+an alternative serving backend rather than the default; its VMEM-resident
+weights become the win when the decoder grows or batches shrink
+(latency-bound regimes).
 """
 
 from __future__ import annotations
@@ -45,7 +51,8 @@ def _make_kernel(cfg: ModelConfig, n_steps: int):
         cv_ref,          # (B, S, L)
         ec_ref,          # (B, F) encoder_cell
         bos_ref,         # (B, n_mels)
-        pos_ref,         # (n_steps, F)
+        pos_ref,         # (n_steps, 1, F) — leading dim untiled so the
+                         # per-step dynamic row load needs no alignment proof
         # weights (packed dict order, see wrapper)
         pre0_k, pre0_b, pre0_w,
         pre1_k, pre1_b, pre1_w,
@@ -79,7 +86,7 @@ def _make_kernel(cfg: ModelConfig, n_steps: int):
 
             # attention query
             h_cat = jnp.concatenate([h0, h1], axis=-1)
-            q = jnp.sin(_dot(h_cat, q_k[:]) + q_b[:]) * q_w[:] + pos_ref[i]
+            q = jnp.sin(_dot(h_cat, q_k[:]) + q_b[:]) * q_w[:] + pos_ref[i]  # (1,F) bcast
 
             # dot-product attention over T (VPU multiply-reduce)
             scores = jnp.sum((q * t_attn)[:, None, :] * k_bank, axis=-1)
@@ -165,7 +172,7 @@ def pallas_ar_decode(
 
     pos = positional_encoding(max(cfg.max_decoder_steps, M), F)[:M].astype(
         weight_dtype
-    )
+    )[:, None, :]  # (M, 1, F)
 
     weights = []
     for name, leaf in WEIGHT_ORDER:

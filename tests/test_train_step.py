@@ -104,9 +104,12 @@ def test_trainable_mask_and_freeze_semantics():
 def test_train_step_loss_decreases_and_frozen_stable(setup):
     model, variables, batch = setup
     variables = _fresh(variables)
-    tx = make_optimizer(CFG, variables["params"])
-    state = create_train_state(CFG, variables)
-    step_fn = make_train_step(CFG, model, tx)
+    # f32: this test asserts a deterministic monotone decrease over 6 tiny
+    # steps, which bf16 rounding noise can mask (bf16 has its own test)
+    cfg32 = dataclasses.replace(CFG, train=dataclasses.replace(CFG.train, bf16=False))
+    tx = make_optimizer(cfg32, variables["params"])
+    state = create_train_state(cfg32, variables)
+    step_fn = make_train_step(cfg32, model, tx)
 
     old_enc = [
         np.asarray(x) for x in jax.tree.leaves(variables["params"]["encoder"])
