@@ -47,6 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=-1)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--eval_batches", type=int, default=2)
+    p.add_argument("--train_split", default="train",
+                   help="corpus split used for training (e.g. 'test' to overfit the bundled fixture)")
     return p.parse_args(argv)
 
 
@@ -59,7 +61,7 @@ def train(args, cfg: Config | None = None) -> dict:
     log_interval = args.log_interval or tc.log_interval
 
     ds = get_dataset(
-        args.dataset, args.root, mode="train", cfg=cfg.data,
+        args.dataset, args.root, mode=args.train_split, cfg=cfg.data,
         augmentation=FaceAugmentation(),
     )
     if len(ds) == 0:

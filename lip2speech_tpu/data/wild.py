@@ -23,7 +23,7 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-VIDEO_EXTS = (".mp4", ".mov", ".mpg")
+VIDEO_EXTS = (".mp4", ".mov", ".mpg", ".avi")
 
 
 def load_wav(path: str) -> np.ndarray:
