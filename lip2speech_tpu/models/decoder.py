@@ -215,7 +215,7 @@ def _build_step(cfg: ModelConfig, p, enc, train, tf_ratio, tf_budget):
         return out.astype(x.dtype)  # f32 MXU accumulation, compute-dtype carry
 
     def dropout(key, x, rate):
-        if not train:
+        if not train or rate == 0.0:
             return x
         keep = 1.0 - rate
         mask = jax.random.bernoulli(key, keep, x.shape)
@@ -244,10 +244,14 @@ def _build_step(cfg: ModelConfig, p, enc, train, tf_ratio, tf_budget):
         h_cat = jnp.concatenate([h[0], h[1]], axis=-1)  # (B, 2F)
         q = jnp.sin(dense(p["Q"], h_cat)) * p["Q_w"] + pos_i  # (B, F)
 
-        # scaled dot-product attention over encoder K/V (decoder.py:360-367)
+        # scaled dot-product attention over encoder K/V (decoder.py:360-367).
+        # Score dropout + softmax run in f32: attention logits are the one
+        # precision-critical op in the step (bf16 here NaNs the TPU
+        # backward), standard mixed-precision practice.
         scores = jnp.einsum("bf,btf->bt", q * p["temperature"], k_bank)
+        scores = scores.astype(jnp.float32)
         scores = dropout(k2, scores, cfg.attention_dropout)
-        a = jax.nn.softmax(scores, axis=-1)
+        a = jax.nn.softmax(scores, axis=-1).astype(v_bank.dtype)
         o = dense(p["attention_proj"], jnp.einsum("bt,btf->bf", a, v_bank))
 
         ys_mid = pre + o  # (B, F/2)
