@@ -47,13 +47,18 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=-1)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--eval_batches", type=int, default=2)
+    p.add_argument("--override", action="append", default=[],
+                   help="config override, e.g. --override train.learning_rate=3e-4")
     p.add_argument("--train_split", default="train",
                    help="corpus split used for training (e.g. 'test' to overfit the bundled fixture)")
     return p.parse_args(argv)
 
 
 def train(args, cfg: Config | None = None) -> dict:
-    cfg = cfg or Config()
+    if cfg is None:
+        from lip2speech_tpu.config import config_with_overrides
+
+        cfg = config_with_overrides(*getattr(args, "override", []))
     tc = cfg.train
     batch_size = args.batch_size or tc.batch_size
     max_iters = args.max_iters or tc.max_iters

@@ -154,3 +154,31 @@ class Config:
 
 def default_config() -> Config:
     return Config()
+
+
+def config_with_overrides(*overrides: str) -> Config:
+    """Build a Config with dotted-path overrides, e.g.
+    ``config_with_overrides("train.learning_rate=3e-4", "model.ffn_hidden_dim=256")``.
+
+    The reference's string-parse path was dead code (hparams.py:95-97);
+    this is the working equivalent for CLIs and sweeps.
+    """
+    import ast
+
+    cfg = Config()
+    groups: dict[str, dict] = {}
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        section, _, field_name = path.partition(".")
+        if not field_name or not hasattr(cfg, section):
+            raise ValueError(f"bad override {ov!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        groups.setdefault(section, {})[field_name] = value
+
+    kw = {}
+    for section, fields in groups.items():
+        kw[section] = dataclasses.replace(getattr(cfg, section), **fields)
+    return dataclasses.replace(cfg, **kw)

@@ -103,3 +103,15 @@ def test_face_extractor_on_synthetic_video(tmp_path):
     assert len(rec["landmarks"]) == 68
     # resumable second pass: nothing crashes, sidecar stable
     extract_faces_for_videos(str(tmp_path))
+
+
+def test_config_overrides():
+    from lip2speech_tpu.config import config_with_overrides
+
+    c = config_with_overrides("train.learning_rate=3e-4", "model.max_decoder_steps=100")
+    assert c.train.learning_rate == 3e-4
+    assert c.model.max_decoder_steps == 100
+    with pytest.raises(ValueError):
+        config_with_overrides("nonsense")
+    with pytest.raises(TypeError):
+        config_with_overrides("train.not_a_field=1")
