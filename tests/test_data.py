@@ -108,3 +108,39 @@ def test_native_jpeg_decoder_matches_cv2():
     native = decode_jpeg_stack_native([np.asarray(b).tobytes() for b in data])
     ref = np.stack([cv2.imdecode(b, cv2.IMREAD_COLOR)[:, :, ::-1] for b in data])
     np.testing.assert_array_equal(native, ref)
+
+
+def test_jax_rotation_matches_cv2():
+    import cv2
+    import jax.numpy as jnp
+
+    from lip2speech_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 48, 3), np.uint8)
+    for deg in (7.0, -13.5, 30.0):
+        h, w = img.shape[:2]
+        m = cv2.getRotationMatrix2D((w // 2, h // 2), deg, 1.0)
+        ref = cv2.warpAffine(img, m, (w, h)).astype(np.float32)
+        # cv2 rotates counterclockwise for positive angle; ops.rotate_image
+        # takes radians with the same inverse-mapping convention
+        got = np.asarray(
+            image_ops.rotate_image(jnp.asarray(img), jnp.float32(np.deg2rad(deg)))
+        )
+        # interiors must agree closely (borders differ by interpolation)
+        diff = np.abs(ref[8:-8, 8:-8] - got[8:-8, 8:-8])
+        assert np.median(diff) <= 1.0, (deg, np.median(diff))
+
+
+def test_batched_align_runs():
+    import jax
+
+    from lip2speech_tpu.ops import image as image_ops
+
+    crops = jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32, 3)) * 255
+    lm = np.zeros((3, 68, 2), np.float32)
+    lm[:, 36:42] = [10, 12]
+    lm[:, 42:48] = [22, 14]
+    out = image_ops.align_face_batched(crops, jnp.asarray(lm))
+    assert out.shape == crops.shape
+    assert np.isfinite(np.asarray(out)).all()
