@@ -111,7 +111,7 @@ def main(argv=None):
             mel_pred=np.asarray(out["mel_postnet"])[0],
             mel_target=gt_mel,
             attention=np.asarray(out["attention"])[0].T,
-            gate=jax.nn.sigmoid(np.asarray(out["gate"])[0, :, 0] if np.asarray(out["gate"]).ndim == 3 else np.asarray(out["gate"])[0]),
+            gate=jax.nn.sigmoid(np.asarray(out["gate"])[0].reshape(-1)),
         )
         print(
             f"clip {i}: stop at step {n_steps}/{cfg.model.max_decoder_steps}, "

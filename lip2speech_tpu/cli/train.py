@@ -111,6 +111,7 @@ def train(args, cfg: Config | None = None) -> dict:
     rng = jax.random.PRNGKey(tc.seed)
 
     it = start_it
+    last_saved_step = -1
     data_iter = iter(loader)
     t_step = time.time()
     for it in range(start_it, max_iters):
@@ -148,8 +149,12 @@ def train(args, cfg: Config | None = None) -> dict:
                 ckpt.save_checkpoint(
                     args.ckpt_dir, it + 1, state, {"best_score": best_score}
                 )
+                last_saved_step = it + 1
 
-    ckpt.save_checkpoint(args.ckpt_dir, max_iters, state, {"best_score": best_score})
+    # final unconditional save (train.py:249-251) — skip if the eval gate
+    # already saved this exact step
+    if last_saved_step != max_iters:
+        ckpt.save_checkpoint(args.ckpt_dir, max_iters, state, {"best_score": best_score})
     return {"final_step": it + 1, "best_score": best_score}
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 
@@ -76,6 +77,10 @@ class StreamingWindowDataset:
         self._time = 0.0
         self._end = 0.0
         self._depth = 0
+        # the windowed cursor is stateful; the threaded Loader may call
+        # __getitem__ concurrently (the reference relies on per-worker
+        # process state instead, grid/dataset.py:149-150)
+        self._lock = threading.RLock()  # re-entrant: reset_item recurses under the lock
 
     def _walk_root(self, root: str, mode: str) -> str:
         return root
@@ -112,17 +117,18 @@ class StreamingWindowDataset:
             self._depth -= 1
 
     def __getitem__(self, _) -> dict:
-        if self._clip is None:
-            self._next_clip()
-        video, wav_path, info_path = self._clip
+        with self._lock:
+            if self._clip is None:
+                self._next_clip()
+            video, wav_path, info_path = self._clip
 
-        start = max(self._time - OVERLAP, 0.0)
-        if start > self._end:
-            return self.reset_item()
-        dur = float(
-            self.rng.choice(np.arange(0.5, self.duration + OVERLAP, OVERLAP))
-        )
-        self._time += dur
+            start = max(self._time - OVERLAP, 0.0)
+            if start > self._end:
+                return self.reset_item()
+            dur = float(
+                self.rng.choice(np.arange(0.5, self.duration + OVERLAP, OVERLAP))
+            )
+            self._time += dur
 
         try:
             sr, audio_full = load_wav(wav_path)
