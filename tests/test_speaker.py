@@ -52,7 +52,7 @@ def test_reconstruction_loss():
 
 def test_speaker_train_step_runs():
     models, params, stats, spk_vars = init_speaker_training(
-        CFG, jax.random.PRNGKey(0), batch_size=4
+        CFG, jax.random.PRNGKey(0), batch_size=2
     )
     tx = make_speaker_optimizer(steps_per_epoch=10)
     state = SpeakerTrainState(
@@ -64,14 +64,14 @@ def test_speaker_train_step_runs():
     )
     step_fn = make_speaker_train_step(models, tx)
     batch = {
-        "speech": jax.random.normal(jax.random.PRNGKey(1), (4, 32000)) * 0.1,
+        "speech": jax.random.normal(jax.random.PRNGKey(1), (2, 32000)) * 0.1,
         "faces_u8": jax.random.randint(
-            jax.random.PRNGKey(2), (4, 160, 160, 3), 0, 255, jnp.uint8
+            jax.random.PRNGKey(2), (2, 160, 160, 3), 0, 255, jnp.uint8
         ).astype(jnp.uint8),
     }
     old_face = np.asarray(jax.tree.leaves(params["face"])[0])
     c_losses = []
-    for _ in range(3):
+    for _ in range(2):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
         c_losses.append(float(metrics["c_loss"]))
         assert np.isfinite(float(metrics["loss"]))
@@ -82,4 +82,4 @@ def test_speaker_train_step_runs():
     new_face = np.asarray(jax.tree.leaves(state.params["face"])[0])
     assert np.abs(new_face - old_face).max() > 0
     assert float(metrics["t"]) <= 100.0
-    assert int(state.step) == 3
+    assert int(state.step) == 2

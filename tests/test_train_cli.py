@@ -36,8 +36,8 @@ def test_train_cli_end_to_end(roots, tmp_path):
         [
             "--root", roots,
             "--batch_size", "2",
-            "--max_iters", "3",
-            "--eval_interval", "3",
+            "--max_iters", "2",
+            "--eval_interval", "2",
             "--log_interval", "1",
             "--run_dir", run_dir,
             "--ckpt_dir", ckpt_dir,
@@ -46,7 +46,7 @@ def test_train_cli_end_to_end(roots, tmp_path):
     )
     cfg = Config(model=TINY_MODEL)
     result = train_cli.train(args, cfg)
-    assert result["final_step"] == 3
+    assert result["final_step"] == 2
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
     assert any(d.startswith("step_") for d in os.listdir(ckpt_dir))
 
@@ -55,7 +55,7 @@ def test_train_cli_end_to_end(roots, tmp_path):
         [
             "--root", roots,
             "--batch_size", "2",
-            "--max_iters", "5",
+            "--max_iters", "3",
             "--eval_interval", "100",
             "--log_interval", "1",
             "--run_dir", run_dir,
@@ -63,4 +63,4 @@ def test_train_cli_end_to_end(roots, tmp_path):
         ]
     )
     result2 = train_cli.train(args2, cfg)
-    assert result2["final_step"] == 5
+    assert result2["final_step"] == 3
