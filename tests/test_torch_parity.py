@@ -138,3 +138,74 @@ def test_decoder_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got["gate"]), want_stop, atol=5e-3, rtol=1e-2
     )
+
+
+def test_lstm_layer_matches_torch():
+    """Generic LSTM parity incl. the two-bias fold and bidirectional
+    ordering — the convention every converted checkpoint relies on."""
+    import torch
+
+    torch.manual_seed(3)
+    B, T, I, H = 3, 11, 24, 32
+    for layers, bidir in ((1, False), (3, False), (1, True), (2, True)):
+        ref = torch.nn.LSTM(I, H, layers, bidirectional=bidir, batch_first=True).eval()
+
+        from lip2speech_tpu.models.layers import LSTM
+
+        params = {}
+        d = 2 if bidir else 1
+        for l in range(layers):
+            for di, suff in enumerate(("", "_reverse") if bidir else ("",)):
+                name = f"l{l}_{'bwd' if suff else 'fwd'}"
+                params[name] = {
+                    "wx": getattr(ref, f"weight_ih_l{l}{suff}").detach().numpy().T,
+                    "wh": getattr(ref, f"weight_hh_l{l}{suff}").detach().numpy().T,
+                    "b": (
+                        getattr(ref, f"bias_ih_l{l}{suff}")
+                        + getattr(ref, f"bias_hh_l{l}{suff}")
+                    ).detach().numpy(),
+                }
+
+        x = np.random.RandomState(0).randn(B, T, I).astype(np.float32)
+        with torch.no_grad():
+            want, (want_h, want_c) = ref(torch.from_numpy(x))
+
+        ours = LSTM(H, num_layers=layers, bidirectional=bidir)
+        got, (got_h, got_c) = ours.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_h), want_h.numpy(), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_contrastive_loss_matches_reference():
+    import importlib
+
+    import torch
+
+    sys.path.insert(0, os.path.join(REF, "speaker_encoder"))
+    # the reference file imports torchvision (absent here) only for its
+    # unused VGG perceptual loss; stub it to import the module
+    import types
+
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    try:
+        ref_losses = importlib.import_module("losses")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference speaker losses unimportable: {e}")
+
+    torch.manual_seed(0)
+    crit = ref_losses.MiniBatchConstrastiveLoss(t=7.0)
+    rng = np.random.RandomState(0)
+    speech = rng.randn(8, 256).astype(np.float32)
+    face = rng.randn(8, 256).astype(np.float32)
+    want = crit([torch.from_numpy(speech), torch.from_numpy(face)])
+
+    from lip2speech_tpu.speaker import contrastive_loss
+
+    got = contrastive_loss(jnp.asarray(speech), jnp.asarray(face), jnp.float32(7.0))
+    np.testing.assert_allclose(
+        float(got["c_loss"]), float(want["c_loss"]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(got["l2_loss"]), float(want["l2_loss"]), atol=1e-5, rtol=1e-4
+    )
