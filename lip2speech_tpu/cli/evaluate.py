@@ -23,6 +23,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--gl_iters", type=int, default=64)
+    p.add_argument("--device_estoi", action="store_true",
+                   help="batched on-device ESTOI instead of exact host metric")
     return p.parse_args(argv)
 
 
@@ -35,6 +37,7 @@ def main(argv=None):
     score = evaluate_net(
         model, variables, ds, cfg,
         batch_size=bs, n_gl_iters=args.gl_iters, max_batches=args.max_batches,
+        device_estoi=args.device_estoi,
     )
     print(json.dumps({"dataset": args.dataset, "n_clips": len(ds), "estoi": score}))
     return score

@@ -35,6 +35,7 @@ def evaluate_net(
     n_gl_iters: int = 64,
     max_batches: int | None = None,
     seed: int = 0,
+    device_estoi: bool = False,
 ) -> float:
     """Mean ESTOI over the dataset (evaluate.py:22-51)."""
     loader = Loader(
@@ -79,11 +80,23 @@ def evaluate_net(
             {k: jnp.asarray(v) for k, v in raw.items()}, cfg.audio, cfg.data
         )
         key, sub = jax.random.split(key)
-        wav_pred = np.asarray(forward_invert(variables, batch, sub))
+        wav_pred = forward_invert(variables, batch, sub)
         gt = np.asarray(raw["audio"])
-        for i in range(n_valid):
-            n = int(raw["audio_lengths"][i])
-            scores.append(
-                estoi_ops.estoi(gt[i, :n], wav_pred[i, :n], cfg.audio.sample_rate)
+        if device_estoi:
+            # batched on-device ESTOI (static-shape approximation; see
+            # ops/estoi.py) — for large-scale eval without host round trips
+            batch_scores = np.asarray(
+                estoi_ops.estoi_batch_jax(
+                    jnp.asarray(gt), wav_pred, lengths=raw["audio_lengths"],
+                    fs=cfg.audio.sample_rate,
+                )
             )
+            scores.extend(batch_scores[:n_valid].tolist())
+        else:
+            wav_pred = np.asarray(wav_pred)
+            for i in range(n_valid):
+                n = int(raw["audio_lengths"][i])
+                scores.append(
+                    estoi_ops.estoi(gt[i, :n], wav_pred[i, :n], cfg.audio.sample_rate)
+                )
     return float(np.mean(scores)) if scores else 0.0

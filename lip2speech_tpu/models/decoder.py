@@ -20,6 +20,13 @@ Key departures from the reference's per-step Python loop (decoder.py:353):
 
 Layout: sequences (B, T, C); mels cross the API edge as (B, n_mels, M) to
 match the reference contract, transposed internally.
+
+Teacher-forcing semantics note (preserved exactly, decoder.py:355-357):
+``tf_ratio`` is inverted relative to its name — a step consumes the
+teacher frame only when ``rand > tf_ratio`` AND fewer than
+``floor(tf_ratio * M)`` teacher frames were used, so tf_ratio=1 means
+fully free-running (this is what evaluate.py measures) and small
+tf_ratio front-loads a small teacher budget.
 """
 
 from __future__ import annotations
