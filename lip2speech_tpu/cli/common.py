@@ -57,8 +57,6 @@ def load_model(cfg: Config, model_path: str | None, batch_size: int = 1):
         variables = _merge(dict(variables), converted)
         print(f"loaded reference checkpoint {model_path}")
     elif model_path and os.path.isdir(model_path):
-        from lip2speech_tpu.train.train_step import TrainState
-
         restored = ckpt.restore_checkpoint(model_path, None)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {model_path}")

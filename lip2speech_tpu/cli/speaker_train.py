@@ -11,7 +11,6 @@ Usage: python -m lip2speech_tpu.cli.speaker_train --root <AVSpeech root>
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp
@@ -63,21 +62,6 @@ def train(args, cfg: Config | None = None):
     step_fn = make_speaker_train_step(models, tx)
     logger = MetricLogger(args.run_dir)
     rng = jax.random.PRNGKey(cfg.train.seed)
-
-    from lip2speech_tpu.data.loader import Loader
-
-    class _Wrap:
-        """Adapt AVSpeechFace samples to the generic loader via the
-        speaker collate."""
-
-        def __init__(self, ds):
-            self.ds = ds
-
-        def __len__(self):
-            return len(self.ds)
-
-        def __getitem__(self, i):
-            return self.ds[i]
 
     rng_np = np.random.default_rng(cfg.train.seed)
     order = np.arange(len(ds))

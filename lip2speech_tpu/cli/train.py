@@ -22,7 +22,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lip2speech_tpu.cli.common import add_common_args, load_model
 from lip2speech_tpu.config import Config

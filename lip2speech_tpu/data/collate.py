@@ -17,13 +17,13 @@ Collate output (numpy, host):
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lip2speech_tpu.config import AudioConfig, Config, DataConfig
+from lip2speech_tpu.config import AudioConfig, DataConfig
 from lip2speech_tpu.ops import image as image_ops
 from lip2speech_tpu.ops import mel as mel_ops
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import bz2
 import os
 import pickle
-from typing import Sequence
-
 import numpy as np
 
 from lip2speech_tpu.config import DataConfig

@@ -13,8 +13,6 @@ reshape/transpose, which XLA folds into the surrounding copies.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 try:
     import cv2
 except ImportError:  # pragma: no cover
