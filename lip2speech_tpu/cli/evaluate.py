@@ -22,7 +22,9 @@ def parse_args(argv=None):
     add_common_args(p)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_batches", type=int, default=None)
-    p.add_argument("--gl_iters", type=int, default=64)
+    p.add_argument("--gl_iters", type=int, default=32,
+                   help="Griffin-Lim iterations; 32 saturates GT round-trip "
+                        "ESTOI on LRW speech (0.885 @ 32/64/128 iters)")
     p.add_argument("--device_estoi", action="store_true",
                    help="batched on-device ESTOI instead of exact host metric")
     return p.parse_args(argv)

@@ -173,3 +173,25 @@ def test_istft_matmul_matches_istft():
     a = np.asarray(stft_ops.istft_matmul(re, im, length=x.shape[-1]))
     b = np.asarray(stft_ops.istft(spec, length=x.shape[-1]))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_speaker_mel_matches_torch_pipeline():
+    """The voice-encoder front end (n_fft 400 / hop 160 / 40 mels,
+    audio.py:124) must match the torch stft + HTK fbank convention too."""
+    from lip2speech_tpu.models.speaker import SPEAKER_AUDIO_CFG
+    from lip2speech_tpu.ops.mel import melspectrogram, mel_filterbank
+
+    cfg = SPEAKER_AUDIO_CFG
+    x = _rand_wav(16000)
+    xt = torch.from_numpy(x)
+    spec = torch.stft(
+        xt, n_fft=cfg.n_fft, hop_length=cfg.hop_length, win_length=cfg.win_length,
+        window=torch.hann_window(cfg.win_length, periodic=True),
+        center=True, pad_mode="reflect", onesided=True, return_complex=True,
+    ).numpy()
+    power = np.abs(spec) ** 2
+    fb = mel_filterbank(cfg.n_freqs, cfg.n_mels, cfg.sample_rate, cfg.fmin, cfg.fmax)
+    golden = fb.T @ power
+    ours = np.asarray(melspectrogram(jnp.asarray(x), cfg, log=False))
+    assert ours.shape == golden.shape == (40, 101)
+    np.testing.assert_allclose(ours, golden, atol=5e-3, rtol=1e-3)
