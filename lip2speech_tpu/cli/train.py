@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=-1)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--eval_batches", type=int, default=2)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "slices (TPU pods); single-host runs skip this")
     p.add_argument("--override", action="append", default=[],
                    help="config override, e.g. --override train.learning_rate=3e-4")
     p.add_argument("--train_split", default="train",
@@ -54,6 +57,12 @@ def parse_args(argv=None):
 
 
 def train(args, cfg: Config | None = None) -> dict:
+    if getattr(args, "multihost", False):
+        # multi-host data parallelism over DCN: each host sees its local
+        # devices; the global mesh spans the slice (SURVEY.md §2.10 —
+        # replaces the reference's absent process-group init)
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
     if cfg is None:
         from lip2speech_tpu.config import config_with_overrides
 

@@ -48,8 +48,15 @@ def evaluate_net(
         "dropout": jax.random.PRNGKey(seed + 2),
     }
 
+    bf16 = cfg.train.bf16
+
     @jax.jit
     def forward_invert(vars_, batch, key):
+        if bf16:
+            from lip2speech_tpu.train.train_step import cast_floats
+
+            vars_ = cast_floats(vars_, jnp.bfloat16)
+            batch = cast_floats(batch, jnp.bfloat16)
         out = model.apply(
             vars_,
             batch["video"],
@@ -60,7 +67,7 @@ def evaluate_net(
             rngs,
             train=False,
         )
-        mel_pred = out["mel_postnet"]  # (B, 80, M)
+        mel_pred = out["mel_postnet"].astype(jnp.float32)  # (B, 80, M)
         wav = gl_ops.mel_to_audio(mel_pred, key, cfg.audio, n_iter=n_gl_iters)
         return wav
 
