@@ -27,7 +27,12 @@ from lip2speech_tpu.cli.common import add_common_args, load_model
 from lip2speech_tpu.config import Config
 from lip2speech_tpu.data import FaceAugmentation, Loader, get_dataset, prepare_batch
 from lip2speech_tpu.eval.evaluate import evaluate_net
-from lip2speech_tpu.parallel import auto_mesh, batch_sharding, create_mesh, replicated
+from lip2speech_tpu.parallel import (
+    auto_mesh,
+    create_mesh,
+    distribute_batch,
+    replicated,
+)
 from lip2speech_tpu.train import checkpoint as ckpt
 from lip2speech_tpu.train import create_train_state, make_optimizer, make_train_step
 from lip2speech_tpu.train.logging_utils import MetricLogger
@@ -94,7 +99,6 @@ def train(args, cfg: Config | None = None) -> dict:
     tx = make_optimizer(cfg, variables["params"])
     state = create_train_state(cfg, variables)
     state = jax.device_put(state, replicated(mesh))
-    bshard = batch_sharding(mesh)
 
     start_it, best_score = 0, -1.0
     restored = ckpt.restore_checkpoint(args.ckpt_dir, template=state)
@@ -112,9 +116,12 @@ def train(args, cfg: Config | None = None) -> dict:
 
     step_fn = make_train_step(cfg, model, tx)
     logger = MetricLogger(args.run_dir)
+    # per-process dataset sharding: each host reads only its slice of every
+    # global batch; distribute_batch assembles the global sharded array
     loader = Loader(
         ds, batch_size, cfg.data, shuffle=True, infinite=True,
         num_workers=min(batch_size, os.cpu_count() or 8), seed=tc.seed,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
     )
     rng = jax.random.PRNGKey(tc.seed)
 
@@ -130,7 +137,7 @@ def train(args, cfg: Config | None = None) -> dict:
         )
         raw = next(data_iter)
         batch = prepare_batch(
-            jax.device_put({k: jnp.asarray(v) for k, v in raw.items()}, bshard),
+            distribute_batch(raw, mesh),
             cfg.audio,
             cfg.data,
         )

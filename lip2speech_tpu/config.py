@@ -123,6 +123,12 @@ class TrainConfig:
     postnet_loss_weight: float = 10.0
     # bf16 activations on TPU replace apex AMP O2 (train.py:106-107)
     bf16: bool = True
+    # False (default) reproduces the reference exactly: MSE averaged over
+    # padded mel frames too (train_utils/losses.py:35-40 has no mask).
+    # True restricts mel/postnet MSE to valid frames — correct behavior,
+    # opt-in via --override train.masked_loss=True so converted-checkpoint
+    # loss values stay comparable to the reference by default.
+    masked_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,9 +32,21 @@ class Loader:
         prefetch: int = 2,
         seed: int = 0,
         infinite: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch size. With ``shard_count`` > 1
+        (multi-host: pass jax.process_index()/jax.process_count()) every
+        process shuffles with the same seed and yields its contiguous
+        ``batch_size // shard_count`` slice of each global batch, so the
+        per-process batches assemble into exactly the single-process global
+        batch (parallel.distribute_batch does the assembly)."""
+        assert batch_size % shard_count == 0, (batch_size, shard_count)
+        assert 0 <= shard_index < shard_count
         self.ds = dataset
         self.batch_size = batch_size
+        self.local_batch_size = batch_size // shard_count
+        self.shard_index = shard_index
         self.cfg = cfg
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -68,6 +80,8 @@ class Loader:
                         if stop.is_set():
                             return
                         chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        lo = self.shard_index * self.local_batch_size
+                        chunk = chunk[lo : lo + self.local_batch_size]
                         samples = list(pool.map(self.ds.__getitem__, chunk))
                         q.put(collate(samples, self.cfg))
                     if not self.infinite:

@@ -120,7 +120,7 @@ def estoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
     yb = _band_env(y)
     nf = xb.shape[1]
     if nf < N_SEG:
-        return 0.0
+        return 1e-5  # pystoi's not-enough-frames sentinel
 
     # segments (M, N, J): N time frames x J bands
     segs_x = np.stack([xb[:, m - N_SEG : m].T for m in range(N_SEG, nf + 1)])
@@ -140,24 +140,40 @@ def estoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
 def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     """Batched ESTOI on device: clean/denoised (B, S) @ 16 kHz.
 
-    Static-shape approximation of :func:`estoi`: polyphase 5/8 resample via
-    FIR conv, energy-threshold frames are *masked out of the segment
-    average* rather than excised, segments windowed over all frames.
+    Static-shape implementation of the same algorithm as :func:`estoi`:
+
+    * exact scipy ``resample_poly``-equivalent polyphase 5/8 resampler
+      (161-tap kaiser(5.0) FIR, group-delay-aligned full convolution);
+    * silent-frame *excision* reproduced with static shapes — kept frames
+      are stably compacted to the front, overlap-added back to a signal,
+      and re-framed, exactly as the host version excises;
+    * segments beyond the per-clip kept-frame count are masked out of the
+      average.
+
+    Residual skew vs the host version is f32-vs-f64 arithmetic only
+    (measured < 2e-3 on real fixture speech; tests/test_estoi_oracle.py).
     """
-    import jax
     import jax.numpy as jnp
     from scipy.signal import firwin
 
     up, down = 5, 8
-    # anti-aliasing FIR at the tighter Nyquist (10k/2), like resample_poly
-    taps = firwin(16 * max(up, down) + 1, 1.0 / down, window=("kaiser", 5.0))
+    assert fs * up == FS * down, "resampler hardcoded for 16 kHz input"
+    # scipy.signal.resample_poly default filter: 2*10*max(up,down)+1 taps,
+    # cutoff 1/max(up,down), kaiser beta 5.0
+    half_len = 10 * max(up, down)
+    taps = firwin(2 * half_len + 1, 1.0 / max(up, down), window=("kaiser", 5.0))
     taps = jnp.asarray(taps * up, jnp.float32)
 
     def resample(x):
+        import jax
+
         b, s = x.shape
         upx = jnp.zeros((b, s * up), x.dtype).at[:, ::up].set(x)
-        pad = len(taps) // 2
-        y = jax.vmap(lambda r: jnp.convolve(r, taps, mode="same"))(upx)
+        pad = jnp.zeros((b, half_len), x.dtype)
+        padded = jnp.concatenate([pad, upx, pad], axis=1)
+        # zero-padded valid conv == full conv sliced at the group delay,
+        # which is exactly resample_poly's alignment
+        y = jax.vmap(lambda r: jnp.convolve(r, taps, mode="valid"))(padded)
         return y[:, ::down]
 
     x = resample(jnp.asarray(clean, jnp.float32))
@@ -172,14 +188,38 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + 1e-20)
     frame_ok = energy > (jnp.max(energy, axis=1, keepdims=True) - DYN_RANGE)
     if lengths is not None:
-        res_len = jnp.asarray(lengths) * up // down
+        res_len = (jnp.asarray(lengths) * up + down - 1) // down
         frame_ok = frame_ok & (
             (np.arange(nfr)[None, :] * HOP + N_FRAME) <= res_len[:, None]
         )
 
+    # static-shape excision: stable-compact kept frames to the front,
+    # zero the rest, overlap-add, re-frame
+    order = jnp.argsort(jnp.logical_not(frame_ok), axis=1, stable=True)
+    n_keep = jnp.sum(frame_ok, axis=1)  # (B,)
+    live = (jnp.arange(nfr)[None, :] < n_keep[:, None])[..., None]
+    xf = jnp.take_along_axis(xf, order[:, :, None], axis=1) * live
+    yf = jnp.take_along_axis(yf, order[:, :, None], axis=1) * live
+
+    def ola_reframe(frames):
+        # frames (B, F, 256), hop 128: buf[j*128:(j+1)*128] =
+        # first_half[j] + second_half[j-1]; re-framed frame j =
+        # concat(buf block j, buf block j+1) — only frames < n_keep are read
+        first, second = frames[:, :, :HOP], frames[:, :, HOP:]
+        blocks = first.at[:, 1:].add(second[:, :-1])  # (B, F, 128)
+        tail = second[:, -1:]
+        buf = jnp.concatenate([blocks, tail], axis=1)  # (B, F+1, 128)
+        return jnp.concatenate([buf[:, :-1], buf[:, 1:]], axis=-1)  # (B, F, 256)
+
+    # re-windowing: the OLA'd signal is re-framed and re-windowed like the
+    # host path; the stored frames are already windowed once, so divide the
+    # reconstruction by nothing — host windows the OLA output again
+    xr = ola_reframe(xf) * w
+    yr = ola_reframe(yf) * w
+
     obm = jnp.asarray(third_octave_matrix(), jnp.float32)
-    xs = jnp.abs(jnp.fft.rfft(xf, NFFT, axis=-1)) ** 2
-    ys = jnp.abs(jnp.fft.rfft(yf, NFFT, axis=-1)) ** 2
+    xs = jnp.abs(jnp.fft.rfft(xr, NFFT, axis=-1)) ** 2
+    ys = jnp.abs(jnp.fft.rfft(yr, NFFT, axis=-1)) ** 2
     xb = jnp.sqrt(jnp.einsum("jf,bnf->bjn", obm, xs))  # (B, 15, F)
     yb = jnp.sqrt(jnp.einsum("jf,bnf->bjn", obm, ys))
 
@@ -187,7 +227,8 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     sidx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
     segs_x = xb[:, :, sidx]  # (B, J, M, N)
     segs_y = yb[:, :, sidx]
-    seg_ok = frame_ok[:, sidx].all(axis=-1)  # (B, M)
+    # segment m covers compacted frames [m, m+30) — valid iff m+30 <= n_keep
+    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_keep[:, None]  # (B, M)
 
     def norm(s):
         s = s - jnp.mean(s, axis=-1, keepdims=True)
@@ -200,4 +241,4 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     yn = norm(segs_y)
     corr = jnp.sum(xn * yn, axis=(1, 3)) / N_SEG  # (B, M)
     denom = jnp.maximum(jnp.sum(seg_ok, axis=1), 1)
-    return jnp.sum(corr * seg_ok, axis=1) / denom
+    return jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom

@@ -92,5 +92,30 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def distribute_batch(batch: Any, mesh: Mesh, process_count: int | None = None):
+    """Build batch-sharded global arrays from per-process local data.
+
+    Single-process: plain ``device_put`` with the batch sharding. Multi-host
+    (a real TPU pod slice): every process holds only its
+    ``global_batch // process_count`` rows (see ``data.Loader`` shard args),
+    and ``jax.make_array_from_process_local_data`` assembles the global
+    array without shipping non-addressable shards — the fix for the
+    round-1 gap where a full global batch was device_put from every
+    process. The reference equivalent is DataLoader worker sharding
+    (train.py:94-100) scaled out.
+    """
+    if process_count is None:
+        process_count = jax.process_count()
+    sharding = batch_sharding(mesh)
+    if process_count == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

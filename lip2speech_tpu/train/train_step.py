@@ -131,6 +131,7 @@ def train_step(
             batch["mel"],
             batch["gate"],
             postnet_weight=cfg.train.postnet_loss_weight,
+            mel_mask=batch.get("mel_mask") if cfg.train.masked_loss else None,
         )
         return losses["total"], (losses, new_stats)
 

@@ -361,3 +361,43 @@ def test_bf16_forward_close_to_f32(setup):
     # correlation rather than absolute closeness
     c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert c > 0.98, c
+
+
+def test_masked_loss_knob(setup):
+    """train.masked_loss=True restricts mel/postnet MSE to valid frames
+    (VERDICT r1 item 7): with padded frames the two configs must differ,
+    and with an all-valid mask the masked loss must equal the parity
+    (unmasked) loss exactly."""
+    model, variables, batch = setup
+    batch = dict(batch)
+    b, m = batch["gate"].shape
+    # mark the last 4 mel frames padding; poison them so masking matters
+    mask = jnp.ones((b, m), bool).at[:, -4:].set(False)
+    batch["mel"] = batch["mel"].at[:, :, -4:].set(-11.5129)
+    batch["mel_mask"] = mask
+
+    def run(masked, batch):
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, bf16=False, masked_loss=masked)
+        )
+        fresh = _fresh(variables)
+        tx = make_optimizer(cfg, fresh["params"])
+        state = create_train_state(cfg, fresh)
+        step = make_train_step(cfg, model, tx)
+        _, metrics = step(
+            state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(0)
+        )
+        return metrics
+
+    unmasked = run(False, batch)
+    masked = run(True, batch)
+    assert not np.allclose(
+        float(masked["mel_loss"]), float(unmasked["mel_loss"]), rtol=1e-4
+    )
+
+    batch_all_valid = dict(batch, mel_mask=jnp.ones((b, m), bool))
+    m_all = run(True, batch_all_valid)
+    u_all = run(False, batch_all_valid)
+    np.testing.assert_allclose(
+        float(m_all["mel_loss"]), float(u_all["mel_loss"]), rtol=1e-5
+    )
