@@ -158,6 +158,9 @@ def train(args, cfg: Config | None = None) -> dict:
                 batch_size=min(32, batch_size), max_batches=args.eval_batches,
             )
             logger.scalars(it + 1, {"estoi": score}, prefix="eval/")
+            # per-layer weight histograms at eval ticks, matching the
+            # reference's validation logging (tensorboard_logger.py:20-24)
+            logger.histograms(it + 1, state.params)
             print(f"[{it + 1}] eval ESTOI {score:.4f} (best {best_score:.4f})")
             if score > best_score:
                 best_score = score

@@ -23,7 +23,8 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-DEFAULT_MODEL_DIR = "/root/reference/datasets/wild/fast_detector/models"
+REFERENCE_MODEL_DIR = "/root/reference/datasets/wild/fast_detector/models"
+MODEL_DIR_ENV = "LIP2SPEECH_DETECTOR_DIR"
 IOU_THRESHOLD = 0.3
 
 
@@ -94,21 +95,43 @@ class FaceDetector:
 
     def __init__(
         self,
-        model_dir: str = DEFAULT_MODEL_DIR,
+        model_dir: str | None = None,
         threshold: float = 0.9,
         target_face_embedding: np.ndarray | None = None,
         face_embed_fn=None,
     ):
-        from lip2speech_tpu.detect.onnx_jax import make_runner
-        from lip2speech_tpu.detect.openvino_jax import make_ir_runner
+        """Weight resolution order: explicit ``model_dir`` arg >
+        $LIP2SPEECH_DETECTOR_DIR > repo-local .npz artifacts
+        (detect/weights/, produced by tools/convert_detector_weights.py) >
+        the reference checkout (fallback only)."""
+        import jax
 
-        self.detect_fn, _ = make_runner(
-            os.path.join(model_dir, "version-RFB-320.onnx")
-        )
-        self.landmark_fn, _ = make_ir_runner(
-            os.path.join(model_dir, "mobilefacenet.xml"),
-            os.path.join(model_dir, "mobilefacenet.bin"),
-        )
+        from lip2speech_tpu.detect import artifacts
+        from lip2speech_tpu.detect.onnx_jax import make_runner, run_graph
+        from lip2speech_tpu.detect.openvino_jax import make_ir_runner, run_ir
+
+        model_dir = model_dir or os.environ.get(MODEL_DIR_ENV)
+        if model_dir is None and os.path.exists(artifacts.RFB320_NPZ):
+            graph = artifacts.load_onnx_npz(artifacts.RFB320_NPZ)
+            self.detect_fn = jax.jit(
+                lambda x: run_graph(graph, {graph.inputs[0]: x})
+            )
+            layers, consts = artifacts.load_ir_npz(artifacts.MOBILEFACENET_NPZ)
+            in_name = next(
+                l.name for l in layers.values() if l.type == "Parameter"
+            )
+            self.landmark_fn = jax.jit(
+                lambda x: run_ir(layers, consts, {in_name: x})
+            )
+        else:
+            model_dir = model_dir or REFERENCE_MODEL_DIR
+            self.detect_fn, _ = make_runner(
+                os.path.join(model_dir, "version-RFB-320.onnx")
+            )
+            self.landmark_fn, _ = make_ir_runner(
+                os.path.join(model_dir, "mobilefacenet.xml"),
+                os.path.join(model_dir, "mobilefacenet.bin"),
+            )
         self.threshold = threshold
         self.target_face_embedding = target_face_embedding
         self.face_embed_fn = face_embed_fn

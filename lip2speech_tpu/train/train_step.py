@@ -43,6 +43,19 @@ def cast_floats(tree: Any, dtype) -> Any:
     )
 
 
+def uncast_floats(tree: Any) -> Any:
+    """Cast bf16 leaves back to float32 (the inverse of ``cast_floats``);
+    keeps running batch statistics in f32 across steps — casting with
+    ``cast_floats(..., float32)`` was a silent no-op on bf16 leaves, so
+    stats degraded to bf16 after the first step."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+        else x,
+        tree,
+    )
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
@@ -120,11 +133,9 @@ def train_step(
             train=True,
             mutable=["batch_stats"],
         )
-        outputs = cast_floats(outputs, jnp.float32) if bf16 else outputs
+        outputs = uncast_floats(outputs) if bf16 else outputs
         new_stats = (
-            cast_floats(updates["batch_stats"], jnp.float32)
-            if bf16
-            else updates["batch_stats"]
+            uncast_floats(updates["batch_stats"]) if bf16 else updates["batch_stats"]
         )
         losses = lip2speech_loss(
             outputs,

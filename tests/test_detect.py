@@ -63,3 +63,26 @@ def test_detector_finds_real_face():
         assert lm[36:48, 1].mean() < lm[48:68, 1].mean()
         x1, y1, x2, y2 = box
         assert x2 > x1 and y2 > y1
+
+
+def test_detector_weight_artifacts_load():
+    """Repo-local .npz artifacts (VERDICT r1 item 9) reconstruct both
+    graphs without touching /root/reference. Output equality vs the
+    original files is asserted by tools/convert_detector_weights.py at
+    conversion time; here we check the artifacts ship and parse."""
+    from lip2speech_tpu.detect import artifacts
+
+    assert os.path.exists(artifacts.RFB320_NPZ), "run tools/convert_detector_weights.py"
+    graph = artifacts.load_onnx_npz(artifacts.RFB320_NPZ)
+    assert len(graph.nodes) > 50
+    assert graph.inputs and graph.outputs
+    assert any(n.op_type == "Conv" for n in graph.nodes)
+    assert all(isinstance(v, np.ndarray) for v in graph.initializers.values())
+
+    layers, consts = artifacts.load_ir_npz(artifacts.MOBILEFACENET_NPZ)
+    types = {l.type for l in layers.values()}
+    assert {"Parameter", "Convolution", "Result"} <= types
+    assert consts and all(isinstance(v, np.ndarray) for v in consts.values())
+    # inputs must round-trip as tuples (run_ir indexes env by layer id)
+    some = next(l for l in layers.values() if l.inputs)
+    assert isinstance(some.inputs[0], tuple)

@@ -401,3 +401,26 @@ def test_masked_loss_knob(setup):
     np.testing.assert_allclose(
         float(m_all["mel_loss"]), float(u_all["mel_loss"]), rtol=1e-5
     )
+
+
+def test_bf16_step_keeps_f32_batch_stats(setup):
+    """Regression: with bf16 on, updated batch_stats must come back f32 —
+    the old cast_floats(..., float32) silently no-op'd on bf16 leaves, so
+    running stats degraded to bf16 after the first step (and a lowered
+    train step rejected its own output state on the next call)."""
+    model, variables, batch = setup
+    cfg = dataclasses.replace(CFG, train=dataclasses.replace(CFG.train, bf16=True))
+    fresh = _fresh(variables)
+    tx = make_optimizer(cfg, fresh["params"])
+    state = create_train_state(cfg, fresh)
+    step = make_train_step(cfg, model, tx)
+    new_state, _ = step(state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(0))
+    dtypes = {
+        str(x.dtype) for x in jax.tree.leaves(new_state.batch_stats)
+    }
+    assert dtypes <= {"float32"}, dtypes
+    # and the same compiled step must accept its own output
+    new_state2, metrics = step(
+        new_state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["total"]))
