@@ -63,6 +63,9 @@ def _flops(compiled) -> float:
 
 
 def main():
+    from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from lip2speech_tpu.config import Config
     from lip2speech_tpu.models import Lip2Speech
     from lip2speech_tpu.ops import griffin_lim as gl_ops

@@ -11,8 +11,12 @@ import jax.numpy as jnp
 
 from lip2speech_tpu.config import Config
 from lip2speech_tpu.models import Lip2Speech
+from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
 
 DATASETS = ("LRW", "GRID", "AVSpeech", "WILD")
+
+# every CLI pays full-program compile costs otherwise (see compile_cache)
+enable_compilation_cache()
 
 
 def add_common_args(p: argparse.ArgumentParser):

@@ -13,11 +13,18 @@ Inference-path only (no dropout / teacher forcing) — the serving hot loop.
 Numerics match the lax.scan decoder to bf16 tolerance (see
 tests/test_pallas_decoder.py, interpret mode).
 
-Measured on v5e (B=64, 300 steps): 29.1 ms vs 30.0 ms for the lax.scan
-path — XLA's scan is already compute-bound here, so the kernel is kept as
-an alternative serving backend rather than the default; its VMEM-resident
-weights become the win when the decoder grows or batches shrink
-(latency-bound regimes).
+Measured on v5e (300 steps, tools/bench_serving_latency.py, round 2):
+
+    batch   lax.scan   pallas   speedup
+    1       33.2 ms    31.4 ms  1.06x
+    4       32.3 ms    30.9 ms  1.05x
+    64      36.0 ms    35.3 ms  1.02x
+
+The loop is sequential-latency-bound at every batch size (B=1 costs the
+same as B=64), and XLA's scan is already tight — the kernel's VMEM-resident
+weights buy only ~5%. Verdict: NOT wired as the default serving backend
+(documented in README); kept as a tested capability for when the decoder
+grows past VMEM-streaming scale.
 """
 
 from __future__ import annotations
@@ -167,6 +174,30 @@ def pallas_ar_decode(
     S = enc["content_key"].shape[1]
     n_mels = cfg.n_mels
 
+    # Mosaic needs >= one full sublane tile on the batch dim: B < 8 hits an
+    # "invalid relayout" on the (B, T) attention vectors. Pad with zero rows
+    # and slice the outputs back — latency is unchanged in this regime.
+    pad_b = 0
+    if not interpret and B < 8:
+        pad_b = 8 - B
+
+        def _pad(x, axis):
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad_b)
+            return jnp.pad(x, widths)
+
+        enc = dict(
+            enc,
+            hidden=_pad(enc["hidden"], 1),
+            k=_pad(enc["k"], 0),
+            v=_pad(enc["v"], 0),
+            content_key=_pad(enc["content_key"], 0),
+            content_value=_pad(enc["content_value"], 0),
+            encoder_cell=_pad(enc["encoder_cell"], 0),
+        )
+        bos = _pad(bos, 0)
+        B = B + pad_b
+
     pos = positional_encoding(max(cfg.max_decoder_steps, M), F)[:M].astype(
         weight_dtype
     )[:, None, :]  # (M, 1, F)
@@ -186,7 +217,7 @@ def pallas_ar_decode(
         jax.ShapeDtypeStruct((M, B, T), jnp.float32),
     )
     n_inputs = 8 + len(weights) + 1
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
@@ -211,3 +242,6 @@ def pallas_ar_decode(
         *weights,
         temps,
     )
+    if pad_b:
+        outs = tuple(o[:, : B - pad_b] for o in outs)
+    return outs
