@@ -32,7 +32,7 @@ def evaluate_net(
     dataset,
     cfg: Config,
     batch_size: int = 32,
-    n_gl_iters: int = 64,
+    n_gl_iters: int = 32,  # saturates round-trip ESTOI (sweep_gl_quality)
     max_batches: int | None = None,
     seed: int = 0,
     device_estoi: bool = False,

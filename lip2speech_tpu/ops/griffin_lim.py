@@ -29,6 +29,7 @@ def griffin_lim(
     rand_init: bool = True,
     key: jax.Array | None = None,
     length: int | None = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Reconstruct a waveform from a power/magnitude spectrogram.
 
@@ -71,9 +72,11 @@ def griffin_lim(
             cfg.win_length,
             window,
             length=n_samples,
+            compute_dtype=compute_dtype,
         )
         rb_re, rb_im = stft_ops.stft_matmul(
-            inverse, cfg.n_fft, cfg.hop_length, cfg.win_length, window
+            inverse, cfg.n_fft, cfg.hop_length, cfg.win_length, window,
+            compute_dtype=compute_dtype,
         )
         rb_re = rb_re[..., :t_frames]
         rb_im = rb_im[..., :t_frames]
@@ -100,17 +103,25 @@ def griffin_lim(
     return wav
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iter", "nnls_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_iter", "nnls_iters", "compute_dtype")
+)
 def mel_to_audio(
     log_mel: jnp.ndarray,
     key: jax.Array,
     cfg: AudioConfig = AudioConfig(),
     n_iter: int = 256,
     nnls_iters: int = 16,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Full ``MelSpec2Audio`` equivalent: log-mel ``(..., n_mels, T)`` ->
     waveform. De-normalize -> NNLS mel inversion -> Griffin-Lim, one jitted
-    TPU program end to end (reference: spectograms.py:92-95)."""
+    TPU program end to end (reference: spectograms.py:92-95).
+    ``compute_dtype=bfloat16`` runs the GL DFT matmuls at the bf16 MXU rate
+    (quality measured in tools/sweep_gl_quality.py; see README)."""
     mel_power = mel_ops.log_decompress(log_mel)
     linear = mel_ops.mel_to_linear(mel_power, cfg, nnls_iters)
-    return griffin_lim(linear, cfg, n_iter=n_iter, power=2.0, key=key)
+    return griffin_lim(
+        linear, cfg, n_iter=n_iter, power=2.0, key=key,
+        compute_dtype=compute_dtype,
+    )

@@ -177,8 +177,9 @@ def pallas_ar_decode(
     # Mosaic needs >= one full sublane tile on the batch dim: B < 8 hits an
     # "invalid relayout" on the (B, T) attention vectors. Pad with zero rows
     # and slice the outputs back — latency is unchanged in this regime.
+    # (Applied in interpret mode too so tests cover the pad+slice logic.)
     pad_b = 0
-    if not interpret and B < 8:
+    if B < 8:
         pad_b = 8 - B
 
         def _pad(x, axis):

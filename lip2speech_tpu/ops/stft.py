@@ -97,11 +97,14 @@ def stft_matmul(
     win_length: int | None = None,
     window: jnp.ndarray | None = None,
     center: bool = True,
+    compute_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """MXU-path STFT: returns (real, imag), each ``(..., n_freqs, T)``.
 
     The (n_fft x n_freqs) DFT matmul runs on the systolic array; for the
     80-mel pipeline the mel projection fuses right behind it.
+    ``compute_dtype=bfloat16`` runs the matmul inputs at the MXU's 2x bf16
+    rate with f32 accumulation (outputs stay f32).
     """
     win_length = win_length or n_fft
     if window is None:
@@ -109,8 +112,12 @@ def stft_matmul(
     window = _pad_window(window, n_fft)
     frames = frame_signal(x, n_fft, hop_length, center) * window
     cos, sin = _dft_matrices(n_fft)
-    re = jnp.matmul(frames, jnp.asarray(cos), preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, jnp.asarray(sin), preferred_element_type=jnp.float32)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    if compute_dtype is not None:
+        frames = frames.astype(compute_dtype)
+        cos, sin = cos.astype(compute_dtype), sin.astype(compute_dtype)
+    re = jnp.matmul(frames, cos, preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, sin, preferred_element_type=jnp.float32)
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
 
 
@@ -180,12 +187,14 @@ def istft_matmul(
     window: jnp.ndarray | None = None,
     center: bool = True,
     length: int | None = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """MXU-path inverse STFT on (real, imag) pairs ``(..., n_freqs, T)``.
 
     Keeps the whole Griffin-Lim loop complex-free and on the systolic
     array (TPU FFT lowering is slow; two (T x n_freqs)(n_freqs x n_fft)
-    matmuls per frame batch are not).
+    matmuls per frame batch are not). ``compute_dtype=bfloat16`` runs the
+    matmuls at the bf16 MXU rate with f32 accumulation.
     """
     win_length = win_length or n_fft
     if window is None:
@@ -193,11 +202,15 @@ def istft_matmul(
     window = _pad_window(window, n_fft)
 
     c, s = _idft_matrices(n_fft)
+    c, s = jnp.asarray(c), jnp.asarray(s)
     re_t = jnp.swapaxes(re, -1, -2)  # (..., T, n_freqs)
     im_t = jnp.swapaxes(im, -1, -2)
+    if compute_dtype is not None:
+        re_t, im_t = re_t.astype(compute_dtype), im_t.astype(compute_dtype)
+        c, s = c.astype(compute_dtype), s.astype(compute_dtype)
     frames = (
-        jnp.matmul(re_t, jnp.asarray(c), preferred_element_type=jnp.float32)
-        + jnp.matmul(im_t, jnp.asarray(s), preferred_element_type=jnp.float32)
+        jnp.matmul(re_t, c, preferred_element_type=jnp.float32)
+        + jnp.matmul(im_t, s, preferred_element_type=jnp.float32)
     )
     frames = frames * window
     y = _overlap_add(frames, hop_length, n_fft)

@@ -7,7 +7,6 @@ path independent of the JAX implementation under test.
 """
 
 import numpy as np
-import pytest
 import torch
 
 from lip2speech_tpu.config import AudioConfig

@@ -5,7 +5,6 @@ shrunken ModelConfig injected via Config; the real-size path is exercised
 on TPU by bench.py and the verify drives.
 """
 
-import json
 import os
 
 import numpy as np
@@ -48,7 +47,6 @@ def test_estoi_identity_and_ordering():
 
 
 def test_estoi_jax_matches_numpy_on_nonsilent():
-    import jax
 
     x = _speechlike()
     rng = np.random.RandomState(1)

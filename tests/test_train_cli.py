@@ -3,7 +3,6 @@ runs real steps, evaluates, saves an orbax checkpoint, and resumes."""
 
 import os
 
-import numpy as np
 import pytest
 
 from lip2speech_tpu.config import Config, ModelConfig

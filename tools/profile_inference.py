@@ -1,0 +1,104 @@
+"""Capture a jax.profiler trace of the full inference pipeline and print a
+coarse stage breakdown (encoder+AR decode vs mel inversion+Griffin-Lim).
+
+The trace (viewable in TensorBoard / Perfetto) lands in --trace_dir; the
+printed JSON gives stage wall-times measured with data-dependent syncs so
+the tunnel cannot hide queueing.
+
+Run: python tools/profile_inference.py [--batch 64] [--trace_dir /tmp/l2s_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--gl_iters", type=int, default=64)
+    ap.add_argument("--trace_dir", default="/tmp/l2s_trace")
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    from lip2speech_tpu.config import Config
+    from lip2speech_tpu.models import Lip2Speech
+    from lip2speech_tpu.ops import griffin_lim as gl_ops
+    from lip2speech_tpu.train.train_step import cast_floats
+
+    cfg = Config()
+    model = Lip2Speech(cfg.model)
+    b = args.batch
+    video = jax.random.normal(
+        jax.random.PRNGKey(0), (b, cfg.data.max_video_frames, *cfg.data.mouth_size, 3)
+    )
+    faces = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.data.n_face_crops, *cfg.data.face_size, 3)
+    )
+    rngs = {"gumbel": jax.random.PRNGKey(1)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        video, faces, jnp.zeros((b, 80, 8)), 0.5, None,
+        {**rngs, "teacher": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        train=False,
+    )
+    variables = cast_floats(variables, jnp.bfloat16)
+    video, faces = video.astype(jnp.bfloat16), faces.astype(jnp.bfloat16)
+
+    @jax.jit
+    def model_fwd(vars_, video, faces):
+        out = model.apply(vars_, video, faces, None, 1.0, None, rngs, train=False)
+        return out["mel_postnet"].astype(jnp.float32)
+
+    @jax.jit
+    def invert(mel, key):
+        return jnp.sum(
+            gl_ops.mel_to_audio(mel, key, cfg.audio, n_iter=args.gl_iters)
+        )
+
+    key = jax.random.PRNGKey(0)
+    mel = model_fwd(variables, video, faces)
+    float(jnp.sum(mel))
+    float(invert(mel, key))
+
+    def timed(fn, *a):
+        ts = []
+        for i in range(5):
+            t0 = time.time()
+            r = fn(*a)
+            float(jnp.sum(r)) if hasattr(r, "shape") else float(r)
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t_fwd = timed(model_fwd, variables, video, faces)
+    t_inv = timed(invert, mel, key)
+
+    with jax.profiler.trace(args.trace_dir):
+        mel = model_fwd(variables, video, faces)
+        s = invert(mel, key)
+        float(s)
+
+    print(
+        json.dumps(
+            {
+                "batch": b,
+                "model_fwd_ms": round(t_fwd * 1e3, 1),
+                "invert_ms": round(t_inv * 1e3, 1),
+                "model_clips_per_sec": round(b / t_fwd, 1),
+                "pipeline_clips_per_sec": round(b / (t_fwd + t_inv), 1),
+                "trace_dir": args.trace_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
