@@ -27,12 +27,7 @@ def main():
         f"localhost:{port}", num_processes=num_processes, process_id=process_id
     )
 
-    import jax.numpy as jnp
     import numpy as np
-
-    from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from tests.multihost_common import (
         build_global_batch,

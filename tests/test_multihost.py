@@ -38,19 +38,32 @@ def test_two_process_train_step_matches_single_process():
     # two real processes, 4 devices each, gloo collectives over localhost
     import portpicker
 
-    port = portpicker.pick_unused_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             str(i), "2", str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+
+    def launch():
+        port = portpicker.pick_unused_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(REPO, "tests", "multihost_worker.py"),
+                 str(i), "2", str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        return [p.communicate(timeout=1800)[0] for p in procs], procs
+
+    outs, procs = launch()
+    if any(p.returncode != 0 for p in procs) and any(
+        "Barrier timed out" in o or "coordination service" in o for o in outs
+    ):
+        # On a 1-CPU host under load one worker can be starved past the
+        # 5-min coordination shutdown barrier even though the collective
+        # math completed; retry once before calling it a real failure.
+        outs, procs = launch()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
