@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lip2speech_tpu.config import Config
+from lip2speech_tpu.parallel import auto_mesh, batch_sharding, replicated
 from lip2speech_tpu.speaker import (
     AVSpeechFace,
     SpeakerTrainState,
@@ -59,6 +60,14 @@ def train(args, cfg: Config | None = None):
         frozen=spk_vars,
         opt_state=tx.init(params),
     )
+    # data parallelism: replicate the three param groups, shard the batch
+    # over the mesh's data axis; XLA inserts the gradient all-reduce (the
+    # reference speaker trainer is single-GPU, speaker_encoder/train.py:53)
+    mesh = auto_mesh(args.batch_size)
+    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+    state = jax.device_put(state, replicated(mesh))
+    bshard = batch_sharding(mesh)
+
     step_fn = make_speaker_train_step(models, tx)
     logger = MetricLogger(args.run_dir)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -75,7 +84,9 @@ def train(args, cfg: Config | None = None):
             samples = [ds[int(i)] for i in idxs]
             batch = collate_speaker(samples)
             state, metrics = step_fn(
-                state, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+                state,
+                jax.device_put({k: jnp.asarray(v) for k, v in batch.items()}, bshard),
+                rng,
             )
             it += 1
             if it % args.log_interval == 0:

@@ -83,3 +83,40 @@ def test_speaker_train_step_runs():
     assert np.abs(new_face - old_face).max() > 0
     assert float(metrics["t"]) <= 100.0
     assert int(state.step) == 2
+
+
+def test_speaker_train_step_data_parallel():
+    """Speaker pretraining step over an 8-device DP mesh: replicated param
+    groups, batch sharded on 'data'; loss finite, params stay replicated
+    (the reference speaker trainer is single-GPU — this is the TPU-native
+    scale-out of it, mirroring the main trainer's)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lip2speech_tpu.parallel import batch_sharding, create_mesh
+
+    assert jax.device_count() == 8
+    mesh = create_mesh(n_data=8, n_model=1)
+    models, params, stats, spk_vars = init_speaker_training(
+        CFG, jax.random.PRNGKey(0), batch_size=8
+    )
+    tx = make_speaker_optimizer(steps_per_epoch=10)
+    state = SpeakerTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=stats,
+        frozen=spk_vars,
+        opt_state=tx.init(params),
+    )
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = {
+        "speech": jax.random.normal(jax.random.PRNGKey(1), (8, 32000)) * 0.1,
+        "faces_u8": jax.random.randint(
+            jax.random.PRNGKey(2), (8, 160, 160, 3), 0, 255, jnp.uint8
+        ).astype(jnp.uint8),
+    }
+    sbatch = jax.device_put(batch, batch_sharding(mesh))
+    step_fn = make_speaker_train_step(models, tx)
+    state, metrics = step_fn(state, sbatch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state.params["face"])[0]
+    assert leaf.sharding.is_fully_replicated
