@@ -38,7 +38,10 @@ from lip2speech_tpu.config import ModelConfig
 
 
 def _dot(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    # run the MXU at the weights' dtype (bf16 on chip, f32 in the
+    # interpret-mode tests) with f32 accumulation; casting x instead of w
+    # avoids re-casting every VMEM-resident weight matrix on every step
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def _make_kernel(cfg: ModelConfig, n_steps: int):
