@@ -129,6 +129,14 @@ class TrainConfig:
     # opt-in via --override train.masked_loss=True so converted-checkpoint
     # loss values stay comparable to the reference by default.
     masked_loss: bool = False
+    # Skip optimizer updates whose gradients contain non-finite values —
+    # the TPU-native duty of apex AMP's overflow-skip (reference
+    # train.py:188-196). Without it one NaN gradient poisons
+    # clip_by_global_norm and corrupts the params permanently (observed
+    # in a long bf16 overfit run).
+    skip_nonfinite_updates: bool = True
+    # consecutive non-finite steps tolerated before optax gives up
+    max_consecutive_nonfinite: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,15 +78,20 @@ class MetricLogger:
         stats = {}
         for name, arr in tensors.items():
             a = arr.astype(np.float64).ravel()
+            finite = a[np.isfinite(a)]
             stats[name] = {
                 "mean": float(a.mean()),
                 "std": float(a.std()),
                 "min": float(a.min()),
                 "max": float(a.max()),
                 "rms": float(np.sqrt(np.mean(a * a))),
+                "nonfinite": int(a.size - finite.size),
             }
-            if self.tb is not None:
-                self.tb.add_histogram(name, arr, step)
+            # TB's make_histogram raises on tensors with no finite values
+            # (seen when a run diverges) — log what's finite, never crash
+            # the training loop from the logger
+            if self.tb is not None and finite.size:
+                self.tb.add_histogram(name, finite, step)
         with open(os.path.join(self.run_dir, "histograms.jsonl"), "a") as f:
             f.write(json.dumps({"step": step, "layers": stats}) + "\n")
         return stats

@@ -82,10 +82,16 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
         optax.add_decayed_weights(cfg.train.weight_decay, mask=mask),
         optax.scale(-cfg.train.learning_rate),
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": adamw_amsgrad, "freeze": optax.set_to_zero()},
         jax.tree.map(lambda t: "train" if t else "freeze", mask),
     )
+    if cfg.train.skip_nonfinite_updates:
+        # apex-overflow-skip equivalent: a NaN/Inf gradient would poison
+        # clip_by_global_norm and corrupt params permanently; reject the
+        # update instead (reference train.py:188-196)
+        tx = optax.apply_if_finite(tx, cfg.train.max_consecutive_nonfinite)
+    return tx
 
 
 def create_train_state(cfg: Config, variables: Any) -> TrainState:
@@ -155,6 +161,8 @@ def train_step(
 
     metrics = dict(losses)
     metrics["grad_norm"] = optax.global_norm(grads)
+    if hasattr(new_opt_state, "notfinite_count"):
+        metrics["notfinite_count"] = new_opt_state.notfinite_count
 
     return (
         TrainState(state.step + 1, new_params, new_stats, new_opt_state),

@@ -424,3 +424,31 @@ def test_bf16_step_keeps_f32_batch_stats(setup):
         new_state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_nonfinite_grads_skip_update(setup):
+    """A batch that produces NaN gradients must leave the params untouched
+    (apex overflow-skip parity, reference train.py:188-196) and a
+    following clean batch must still apply — observed failure mode: one
+    NaN grad poisons clip_by_global_norm and corrupts params permanently."""
+    model, variables, batch = setup
+    cfg = dataclasses.replace(CFG, train=dataclasses.replace(CFG.train, bf16=False))
+    fresh = _fresh(variables)
+    tx = make_optimizer(cfg, fresh["params"])
+    state = create_train_state(cfg, fresh)
+    step = make_train_step(cfg, model, tx)
+
+    bad = dict(batch)
+    bad["mel"] = batch["mel"].at[0, 0, 0].set(jnp.nan)
+    before = np.asarray(jax.tree.leaves(state.params["decoder"])[0]).copy()
+    state, metrics = step(state, bad, jnp.float32(0.5), jax.random.PRNGKey(0))
+    after = np.asarray(jax.tree.leaves(state.params["decoder"])[0])
+    assert not np.isfinite(float(metrics["total"]))
+    np.testing.assert_array_equal(before, after)
+    assert int(metrics["notfinite_count"]) == 1
+
+    state, metrics = step(state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(metrics["notfinite_count"]) == 0
+    moved = np.abs(np.asarray(jax.tree.leaves(state.params["decoder"])[0]) - after)
+    assert moved.max() > 0
