@@ -1,0 +1,101 @@
+"""Long-video chunked synthesis (paper inference setting): chunking
+math, pro-rata mel assembly, single-pass inversion, and the CLI."""
+
+import numpy as np
+import pytest
+
+from lip2speech_tpu.config import Config, ModelConfig
+from lip2speech_tpu.eval.long_video import chunk_video, synthesize_long_video
+
+TINY_MODEL = ModelConfig(
+    ffn_hidden_dim=128,
+    content_vocab_size=33,
+    content_latent_dim=64,
+    max_decoder_steps=80,  # >= the 73 pro-rata mel frames of one window
+    postnet_embedding_dim=64,
+    shufflenet_width=0.5,
+)
+TINY_OVERRIDES = [
+    "model.ffn_hidden_dim=128",
+    "model.content_vocab_size=33",
+    "model.content_latent_dim=64",
+    "model.max_decoder_steps=80",
+    "model.postnet_embedding_dim=64",
+    "model.shufflenet_width=0.5",
+]
+
+
+def test_chunk_video_math():
+    v = np.arange(7 * 2 * 2 * 3, dtype=np.uint8).reshape(7, 2, 2, 3)
+    chunks, tail = chunk_video(v, 3)
+    assert chunks.shape == (3, 3, 2, 2, 3)
+    assert tail == 1  # 7 = 3+3+1
+    np.testing.assert_array_equal(chunks[0], v[:3])
+    # tail chunk is edge-padded with the last frame
+    np.testing.assert_array_equal(chunks[2][1], v[6])
+    np.testing.assert_array_equal(chunks[2][2], v[6])
+
+    chunks, tail = chunk_video(v[:6], 3)
+    assert chunks.shape == (2, 3, 2, 2, 3) and tail == 3
+
+
+def test_synthesize_long_video_lengths():
+    import jax
+
+    cfg = Config(model=TINY_MODEL)
+    model_mod = __import__(
+        "lip2speech_tpu.models", fromlist=["Lip2Speech"]
+    )
+    model = model_mod.Lip2Speech(cfg.model)
+
+    t_total = int(cfg.data.max_video_frames * 2.5)  # 2 full + 1 tail chunk
+    rng = np.random.RandomState(0)
+    video = rng.randn(t_total, *cfg.data.mouth_size, 3).astype(np.float32) * 0.1
+    faces = rng.randn(cfg.data.n_face_crops, *cfg.data.face_size, 3).astype(
+        np.float32
+    ) * 0.1
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        video[None, : cfg.data.max_video_frames],
+        faces[None],
+        None, 1.0, None, {"gumbel": jax.random.PRNGKey(1)}, train=False,
+    )
+    wav, mel = synthesize_long_video(
+        model, variables, video, faces, cfg, jax.random.PRNGKey(0),
+        n_gl_iters=4,
+    )
+    # pro-rata: 25 fps -> 2.5 mel frames per video frame
+    full = round(cfg.data.max_video_frames * 16000 / 25 / 256)
+    tail_frames = t_total - 2 * cfg.data.max_video_frames
+    want_mel = 2 * full + round(full * tail_frames / cfg.data.max_video_frames)
+    assert abs(mel.shape[1] - want_mel) <= 1, (mel.shape, want_mel)
+    assert mel.shape[0] == cfg.model.n_mels
+    assert np.isfinite(wav).all()
+    # one GL pass over the concatenation: (M-1)*hop samples
+    assert len(wav) == (mel.shape[1] - 1) * cfg.audio.hop_length
+
+
+def test_synthesize_cli_from_lrw(tmp_path):
+    from lip2speech_tpu.cli import synthesize as syn_cli
+    from lip2speech_tpu.data import make_sample_lrw
+
+    root = str(tmp_path / "lrw")
+    make_sample_lrw(root, n_clips=2)
+    out = str(tmp_path / "long.wav")
+    syn_cli.main(
+        [
+            "--from_lrw", root,
+            "--n_clips", "2",
+            "--out", out,
+            "--gl_iters", "2",
+        ]
+        + [f"--override={o}" for o in TINY_OVERRIDES]
+    )
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(out)
+    assert sr == 16000
+    # 2 clips x 29 frames x 640 samples/frame, minus one hop per GL pass
+    assert len(wav) > 2 * 25 * 640
+    assert np.isfinite(wav).all()
