@@ -47,6 +47,7 @@ class Loader:
         self.batch_size = batch_size
         self.local_batch_size = batch_size // shard_count
         self.shard_index = shard_index
+        self.shard_count = shard_count
         self.cfg = cfg
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -80,8 +81,25 @@ class Loader:
                         if stop.is_set():
                             return
                         chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                        lo = self.shard_index * self.local_batch_size
-                        chunk = chunk[lo : lo + self.local_batch_size]
+                        if len(chunk) == self.batch_size:
+                            lo = self.shard_index * self.local_batch_size
+                            chunk = chunk[lo : lo + self.local_batch_size]
+                        else:
+                            # ragged tail (drop_last=False): slice pro-rata
+                            # on the actual chunk length so every process
+                            # gets a near-equal (possibly empty-on-all-or-
+                            # none) share and multi-host batch assembly
+                            # stays consistent
+                            edges = np.linspace(0, len(chunk), self.shard_count + 1)
+                            edges = edges.round().astype(int)
+                            if (np.diff(edges) == 0).any():
+                                # some process would get nothing: every
+                                # process sees the same edges (same seed),
+                                # so ALL skip this tail batch in lockstep
+                                continue
+                            chunk = chunk[
+                                edges[self.shard_index] : edges[self.shard_index + 1]
+                            ]
                         samples = list(pool.map(self.ds.__getitem__, chunk))
                         q.put(collate(samples, self.cfg))
                     if not self.infinite:

@@ -35,6 +35,28 @@ def chunk_video(video: np.ndarray, chunk_frames: int) -> tuple[np.ndarray, int]:
     return video.reshape(n_chunks, chunk_frames, *video.shape[1:]), tail_valid
 
 
+def chunk_mel_counts(
+    n_chunks: int, chunk_frames: int, tail_valid: int, sample_rate: int,
+    hop_length: int, fps: float = 25.0,
+) -> list[int]:
+    """Per-chunk mel frame counts from ROUNDED CUMULATIVE boundaries.
+
+    A 29-frame window at 25 fps / hop 256 @ 16 kHz is exactly 72.5 mel
+    frames; rounding each chunk independently (72) would shorten the audio
+    ~0.7% and drift ~0.4 s over a 60 s video. Cumulative rounding
+    (m_i = round((i+1)*rate) - round(i*rate)) keeps the running total
+    within half a frame of exact at every boundary.
+    """
+    rate = chunk_frames * sample_rate / fps / hop_length
+    frame_rate = sample_rate / fps / hop_length
+    total_exact = ((n_chunks - 1) * chunk_frames + tail_valid) * frame_rate
+    counts = []
+    for i in range(n_chunks):
+        end = (i + 1) * rate if i < n_chunks - 1 else total_exact
+        counts.append(max(1, int(round(end)) - int(round(i * rate))))
+    return counts
+
+
 def synthesize_long_video(
     model,
     variables,
@@ -74,14 +96,13 @@ def synthesize_long_video(
     # contributes its pro-rata mel frames (25 fps video, hop 256 @ 16 kHz
     # -> 2.5 mel frames per video frame), exactly the paper's
     # fixed-window concatenation; gate-based early stop is a single-clip
-    # demo concern, not a chunking one.
-    full_mel = int(round(chunk_frames * cfg.audio.sample_rate
-                         / 25 / cfg.audio.hop_length))
-    segs = []
-    for i in range(n):
-        valid = chunk_frames if i < n - 1 else tail_valid
-        m = max(1, int(round(full_mel * valid / chunk_frames)))
-        segs.append(mels[i, :, :m])
+    # demo concern, not a chunking one. See chunk_mel_counts for why the
+    # per-chunk counts use cumulative rounding.
+    counts = chunk_mel_counts(
+        n, chunk_frames, tail_valid, cfg.audio.sample_rate,
+        cfg.audio.hop_length,
+    )
+    segs = [mels[i, :, :m] for i, m in enumerate(counts)]
     mel_cat = np.concatenate(segs, axis=1)  # (n_mels, M_total)
 
     wav = gl_ops.mel_to_audio(

@@ -11,8 +11,10 @@ ESTOI = mean over segments of the row+column-normalized correlation.
 Two implementations:
   * :func:`estoi` — exact numpy version (host; the parity metric).
   * :func:`estoi_batch_jax` — static-shape JAX version for on-device batched
-    evaluation; silent-frame *masking* replaces removal (documented
-    divergence — identical on clips without silent frames).
+    evaluation. It reproduces the host algorithm's silent-frame *excision*
+    exactly with static shapes (stable compaction + overlap-add + re-frame);
+    the only residual skew vs the host version is f32-vs-f64 arithmetic,
+    measured < 2.7e-4 on real fixture speech (tests/test_estoi_oracle.py).
 """
 
 from __future__ import annotations
@@ -241,4 +243,7 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     yn = norm(segs_y)
     corr = jnp.sum(xn * yn, axis=(1, 3)) / N_SEG  # (B, M)
     denom = jnp.maximum(jnp.sum(seg_ok, axis=1), 1)
-    return jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
+    score = jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
+    # match the host/pystoi not-enough-frames sentinel (estoi() returns
+    # 1e-5 when fewer than N_SEG frames survive excision)
+    return jnp.where(n_keep >= N_SEG, score, 1e-5)

@@ -2,10 +2,13 @@
 
 Host-side, run once per corpus. Video decode uses cv2 (ffmpeg-backed);
 steps that strictly need the ffmpeg *binary* (audio demux, stream
-segmenting) are gated behind :func:`require_ffmpeg` with a clear error,
-and network acquisition tools (YouTube scraping/downloading) are gated
-behind :func:`require_network` — this image has neither ffmpeg nor
-egress.
+segmenting) are gated behind :func:`require_ffmpeg`, and the live
+network boundaries of the acquisition tools (YouTube API scrape, stream
+download) behind a genuine TCP reachability probe
+(:func:`common.network_available`). The acquisition LOGIC — API request
+construction, response parsing, the ffmpeg cut recipe, failure
+accounting — is fully implemented and unit-tested offline with mocked
+transports (tests/test_acquisition.py).
 """
 
 from lip2speech_tpu.prep.common import require_ffmpeg, require_network  # noqa: F401

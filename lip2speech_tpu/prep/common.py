@@ -16,10 +16,39 @@ def require_ffmpeg() -> str:
     return path
 
 
-def require_network(tool: str):
+def network_available(
+    host: str = "www.youtube.com", port: int = 443, timeout: float = 3.0
+) -> bool:
+    """Genuine reachability probe (the require_ffmpeg pattern): can we
+    open a TCP connection to the acquisition endpoint?"""
+    import socket
+
+    try:
+        socket.create_connection((host, port), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def require_network(tool: str, probe=network_available):
+    if not probe():
+        raise RuntimeError(
+            f"{tool} needs network access (YouTube APIs) and the probe to "
+            "www.youtube.com:443 failed — run the acquisition tools on a "
+            "connected host"
+        )
+
+
+def require_ytdl() -> str:
+    """Locate a youtube downloader binary (yt-dlp or youtube-dl)."""
+    for name in ("yt-dlp", "youtube-dl"):
+        path = shutil.which(name)
+        if path:
+            return path
     raise RuntimeError(
-        f"{tool} needs network access (YouTube APIs); this environment has "
-        "no egress — run the acquisition tools on a connected host"
+        "acquisition needs yt-dlp or youtube-dl on PATH to resolve YouTube "
+        "stream URLs (reference: datasets/avspeech/downloader.py uses the "
+        "youtube_dl package)"
     )
 
 

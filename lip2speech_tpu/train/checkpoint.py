@@ -344,10 +344,33 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None):
         ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), payload, force=True)
 
 
+def _fresh_if_finite_wrapper(inner_state):
+    """A freshly-initialized optax ApplyIfFiniteState around
+    ``inner_state`` (counters zeroed, last update assumed finite)."""
+    import optax
+
+    return optax.ApplyIfFiniteState(
+        notfinite_count=np.zeros((), np.int32),
+        last_finite=np.asarray(True),
+        total_notfinite=np.zeros((), np.int32),
+        inner_state=inner_state,
+    )
+
+
 def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
     """Restore the newest checkpoint. Pass ``template`` (a TrainState-like
     object with the target pytree structure, e.g. a freshly created state)
-    to get the optax NamedTuple structure back; without it, raw dicts."""
+    to get the optax NamedTuple structure back; without it, raw dicts.
+
+    ``train.skip_nonfinite_updates`` wraps the optimizer state in an optax
+    ``ApplyIfFiniteState``, so checkpoints saved with the flag toggled the
+    other way have a different opt_state pytree. Restore handles both
+    schemas: on a structure mismatch it retries with the template's
+    opt_state wrapped/unwrapped to match the checkpoint, then converts the
+    result back to the template's structure (counters re-initialized —
+    they are per-run diagnostics, not model state).
+    """
+    import optax
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -365,10 +388,32 @@ def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
         if template is None:
             payload = ckptr.restore(path)
         else:
-            target = {
-                "state": jax.tree.map(np.asarray, template._asdict()),
-                "extra": {"best_score": np.asarray(0.0)},
-            }
-            payload = ckptr.restore(path, target)
+            def target_for(opt_state):
+                d = template._asdict()
+                d["opt_state"] = opt_state
+                return {
+                    "state": jax.tree.map(np.asarray, d),
+                    "extra": {"best_score": np.asarray(0.0)},
+                }
+
+            tmpl_wrapped = isinstance(
+                template.opt_state, optax.ApplyIfFiniteState
+            )
+            try:
+                payload = ckptr.restore(path, target_for(template.opt_state))
+            except BaseException:
+                # schema mismatch: flip the wrapper and retry
+                alt = (
+                    template.opt_state.inner_state
+                    if tmpl_wrapped
+                    else _fresh_if_finite_wrapper(template.opt_state)
+                )
+                payload = ckptr.restore(path, target_for(alt))
+                restored_opt = payload["state"]["opt_state"]
+                payload["state"]["opt_state"] = (
+                    _fresh_if_finite_wrapper(restored_opt)
+                    if tmpl_wrapped
+                    else restored_opt.inner_state
+                )
     extra = payload.get("extra", {})
     return payload["state"], {k: v for k, v in extra.items()}

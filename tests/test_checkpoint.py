@@ -81,3 +81,57 @@ def test_speaker_split():
     speaker = {k[len("speaker_encoder."):]: v for k, v in fake.items()
                if k.startswith("speaker_encoder.")}
     assert "lstm.weight_ih_l0" in speaker
+
+
+def test_restore_across_nonfinite_schema(tmp_path):
+    """ADVICE r2: train.skip_nonfinite_updates wraps opt_state in optax
+    ApplyIfFiniteState, changing the checkpoint pytree. Restore must
+    bridge both directions (old checkpoints after the default flip, and
+    toggled runs), re-initializing only the wrapper counters."""
+    import dataclasses
+
+    import optax
+
+    from lip2speech_tpu.config import Config
+    from lip2speech_tpu.train.train_step import TrainState, make_optimizer
+
+    params = {
+        "encoder": {"w": np.arange(3, dtype=np.float32)},
+        "decoder": {"w": np.full((2,), 2.0, np.float32)},
+    }
+    stats = {"bn": {"mean": np.zeros((1,), np.float32)}}
+    base = Config()
+
+    def make_state(skip: bool):
+        cfg = dataclasses.replace(
+            base,
+            train=dataclasses.replace(base.train, skip_nonfinite_updates=skip),
+        )
+        tx = make_optimizer(cfg, params)
+        return TrainState(
+            step=jnp.asarray(5, jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=tx.init(params),
+        )
+
+    # saved WITHOUT the wrapper, restored into a wrapped template
+    d1 = str(tmp_path / "off_to_on")
+    ckpt.save_checkpoint(d1, 5, make_state(False), extra={"best_score": np.asarray(0.25)})
+    state, extra = ckpt.restore_checkpoint(d1, template=make_state(True))
+    assert isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    np.testing.assert_array_equal(state["params"]["encoder"]["w"], params["encoder"]["w"])
+    assert float(extra["best_score"]) == 0.25
+    assert int(state["opt_state"].notfinite_count) == 0
+
+    # saved WITH the wrapper, restored into an unwrapped template
+    d2 = str(tmp_path / "on_to_off")
+    ckpt.save_checkpoint(d2, 5, make_state(True), extra={"best_score": np.asarray(0.5)})
+    state, extra = ckpt.restore_checkpoint(d2, template=make_state(False))
+    assert not isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    np.testing.assert_array_equal(state["params"]["decoder"]["w"], params["decoder"]["w"])
+
+    # same-schema restore still exact
+    state, _ = ckpt.restore_checkpoint(d2, template=make_state(True))
+    assert isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    assert int(state["step"]) == 5

@@ -190,3 +190,35 @@ def test_distribute_batch_make_array_path(synth_root):
         np.testing.assert_array_equal(
             np.asarray(via_make_array[k]), np.asarray(via_device_put[k]), err_msg=k
         )
+
+
+def test_loader_ragged_tail_sharded(tmp_path):
+    """ADVICE r2: with shard_count>1 and drop_last=False the ragged tail
+    batch must split pro-rata (all processes in lockstep), not by the
+    full-batch offsets (which empties some shards and breaks assembly)."""
+    root = str(tmp_path / "lrw6")
+    make_sample_lrw(root, n_clips=6)
+    ds = LRW(root, mode="test", cfg=DCFG)
+    kw = dict(cfg=DCFG, shuffle=False, num_workers=2, drop_last=False)
+    shards = [
+        list(Loader(ds, batch_size=4, shard_index=i, shard_count=2, **kw))
+        for i in range(2)
+    ]
+    assert len(shards[0]) == len(shards[1]) == 2
+    assert shards[0][0]["mouth_u8"].shape[0] == 2  # full batch: 2+2
+    assert shards[0][1]["mouth_u8"].shape[0] == 1  # tail of 2: 1+1
+    assert shards[1][1]["mouth_u8"].shape[0] == 1
+
+
+def test_loader_unsplittable_tail_skipped_in_lockstep(tmp_path):
+    """A tail smaller than shard_count cannot give every process a share:
+    every process must skip it (same decision from the same seed)."""
+    root = str(tmp_path / "lrw5")
+    make_sample_lrw(root, n_clips=5)
+    ds = LRW(root, mode="test", cfg=DCFG)
+    kw = dict(cfg=DCFG, shuffle=False, num_workers=2, drop_last=False)
+    shards = [
+        list(Loader(ds, batch_size=4, shard_index=i, shard_count=4, **kw))
+        for i in range(4)
+    ]
+    assert all(len(s) == 1 for s in shards)  # tail of 1 skipped by all

@@ -213,3 +213,20 @@ def test_device_estoi_skew_bound_on_real_speech():
     # measured max on this fixture set: 2.7e-4 (static-shape excision via
     # frame compaction + exact resample_poly FIR; residual is f32 vs f64)
     assert skew.max() < 2e-3, (device, host)
+
+
+def test_device_estoi_too_short_matches_host_sentinel():
+    """ADVICE r2: when fewer than N_SEG frames survive silent-frame
+    excision, the device metric must return the same 1e-5 sentinel as the
+    host/pystoi path instead of 0.0."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = np.zeros((1, 16000), np.float32)
+    x[0, :400] = rng.randn(400)  # one short burst; the rest is silence
+    y = x + 0.01 * rng.randn(1, 16000).astype(np.float32)
+
+    host = estoi_ops.estoi(x[0], y[0])
+    assert host == pytest.approx(1e-5)
+    dev = np.asarray(estoi_ops.estoi_batch_jax(jnp.asarray(x), jnp.asarray(y)))
+    assert dev[0] == pytest.approx(1e-5)

@@ -99,3 +99,19 @@ def test_synthesize_cli_from_lrw(tmp_path):
     # 2 clips x 29 frames x 640 samples/frame, minus one hop per GL pass
     assert len(wav) > 2 * 25 * 640
     assert np.isfinite(wav).all()
+
+
+def test_chunk_mel_counts_cumulative_rounding():
+    """ADVICE r2 (medium): per-chunk counts from rounded CUMULATIVE
+    boundaries — a 29-frame chunk is 72.5 mel frames exactly, so 8 chunks
+    must contribute 580 frames, not 8*72=576 (0.7% audio shortening)."""
+    from lip2speech_tpu.eval.long_video import chunk_mel_counts
+
+    counts = chunk_mel_counts(8, 29, 29, 16000, 256)
+    assert sum(counts) == round(8 * 29 * 16000 / 25 / 256)  # 580
+    assert set(counts) <= {72, 73}
+
+    # tail chunk pro-rated at the exact per-frame rate on its valid frames
+    counts = chunk_mel_counts(3, 29, 10, 16000, 256)
+    assert sum(counts) == round((2 * 29 + 10) * 16000 / 25 / 256)  # 170
+    assert counts[-1] == 25  # 10 frames * 2.5
