@@ -26,9 +26,12 @@ def parse_args(argv=None):
                    help="Griffin-Lim iterations; 32 saturates GT round-trip "
                         "ESTOI on LRW speech (0.885 @ 32/64/128 iters)")
     p.add_argument("--device_estoi", action="store_true",
-                   help="batched on-device ESTOI (same algorithm, static-"
+                   help="batched on-device metric (same algorithm, static-"
                         "shape excision; measured <= 2.7e-4 off the host "
                         "metric on fixture speech)")
+    p.add_argument("--metric", choices=("estoi", "stoi"), default="estoi",
+                   help="intelligibility metric: the reference's ESTOI "
+                        "(Report.pdf 0.42) or STOI (Report.pdf 0.66)")
     return p.parse_args(argv)
 
 
@@ -41,9 +44,9 @@ def main(argv=None):
     score = evaluate_net(
         model, variables, ds, cfg,
         batch_size=bs, n_gl_iters=args.gl_iters, max_batches=args.max_batches,
-        device_estoi=args.device_estoi,
+        device_estoi=args.device_estoi, metric=args.metric,
     )
-    print(json.dumps({"dataset": args.dataset, "n_clips": len(ds), "estoi": score}))
+    print(json.dumps({"dataset": args.dataset, "n_clips": len(ds), args.metric: score}))
     return score
 
 

@@ -31,7 +31,10 @@ from lip2speech_tpu.parallel import (
     auto_mesh,
     create_mesh,
     distribute_batch,
+    partition_params,
     replicated,
+    shard_like,
+    shard_train_state,
 )
 from lip2speech_tpu.train import checkpoint as ckpt
 from lip2speech_tpu.train import create_train_state, make_optimizer, make_train_step
@@ -98,17 +101,22 @@ def train(args, cfg: Config | None = None) -> dict:
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
     tx = make_optimizer(cfg, variables["params"])
     state = create_train_state(cfg, variables)
-    state = jax.device_put(state, replicated(mesh))
+    # tensor parallelism (VERDICT r2 item 3): with --model_parallel > 1 the
+    # decoder/encoder matmul weights shard over the mesh's model axis
+    # (TP_RULES); optimizer moments inherit the shardings via GSPMD
+    tp_specs = partition_params(state.params, mesh, args.model_parallel > 1)
+    state = shard_train_state(state, mesh, tp_specs, tx)
 
     start_it, best_score = 0, -1.0
     restored = ckpt.restore_checkpoint(args.ckpt_dir, template=state)
     if restored is not None:
         payload, extra = restored
+        # restore INTO the live shardings (TP specs included)
         state = state._replace(
-            step=jnp.asarray(payload["step"]),
-            params=jax.device_put(payload["params"], replicated(mesh)),
-            batch_stats=jax.device_put(payload["batch_stats"], replicated(mesh)),
-            opt_state=jax.device_put(payload["opt_state"], replicated(mesh)),
+            step=jax.device_put(jnp.asarray(payload["step"]), replicated(mesh)),
+            params=shard_like(payload["params"], state.params),
+            batch_stats=shard_like(payload["batch_stats"], state.batch_stats),
+            opt_state=shard_like(payload["opt_state"], state.opt_state),
         )
         start_it = int(payload["step"])
         best_score = float(extra.get("best_score", -1.0))
@@ -143,6 +151,14 @@ def train(args, cfg: Config | None = None) -> dict:
         )
         batch.pop("audio"), batch.pop("audio_lengths")
         state, metrics = step_fn(state, batch, jnp.float32(tf_ratio), rng)
+        if jax.default_backend() == "cpu" and len(mesh.devices.flat) > 1:
+            # The in-process CPU collective backend (virtual multi-device
+            # test meshes) can deadlock its rendezvous when two programs
+            # with collectives are in flight concurrently (async-dispatched
+            # steps + the next batch's cross-device placement). Serialize.
+            # Real TPUs order programs per device in hardware — async
+            # dispatch stays on for them.
+            jax.block_until_ready(metrics["total"])
 
         if (it + 1) % log_interval == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
@@ -156,6 +172,7 @@ def train(args, cfg: Config | None = None) -> dict:
             score = evaluate_net(
                 model, eval_vars, eval_ds, cfg,
                 batch_size=min(32, batch_size), max_batches=args.eval_batches,
+                mesh=mesh,
             )
             logger.scalars(it + 1, {"estoi": score}, prefix="eval/")
             # per-layer weight histograms at eval ticks, matching the

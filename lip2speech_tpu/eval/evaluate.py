@@ -36,12 +36,38 @@ def evaluate_net(
     max_batches: int | None = None,
     seed: int = 0,
     device_estoi: bool = False,
+    metric: str = "estoi",
+    mesh=None,
 ) -> float:
-    """Mean ESTOI over the dataset (evaluate.py:22-51)."""
+    """Mean ESTOI (or STOI, ``metric='stoi'``) over the dataset
+    (evaluate.py:22-51; the reference computes only ESTOI, but its
+    Report.pdf Table 2 baseline includes STOI 0.66 — BASELINE.md).
+
+    With ``mesh``, batches are placed onto it (data-sharded when the batch
+    divides the data axis, else replicated) so evaluation composes with
+    TP/DP-sharded ``variables``; multi-process runs shard the loader per
+    process and average scores across processes.
+    """
+    assert metric in ("estoi", "stoi"), metric
+    host_fn = estoi_ops.estoi if metric == "estoi" else estoi_ops.stoi
+    batch_fn = (
+        estoi_ops.estoi_batch_jax if metric == "estoi" else estoi_ops.stoi_batch_jax
+    )
+    n_proc = jax.process_count()
+    local_batch = batch_size // n_proc if batch_size % n_proc == 0 else batch_size
     loader = Loader(
         dataset, batch_size, cfg.data, shuffle=False, drop_last=False,
         num_workers=8,
+        shard_index=jax.process_index() if batch_size % n_proc == 0 else 0,
+        shard_count=n_proc if batch_size % n_proc == 0 else 1,
     )
+    if mesh is not None:
+        from lip2speech_tpu.parallel import batch_sharding, replicated
+
+        n_data = mesh.shape.get("data", 1)
+        mesh_sharding = (
+            batch_sharding(mesh) if batch_size % n_data == 0 else replicated(mesh)
+        )
     rngs = {
         "gumbel": jax.random.PRNGKey(seed),
         "teacher": jax.random.PRNGKey(seed + 1),
@@ -78,33 +104,68 @@ def evaluate_net(
             break
         # static-shape batches only: pad the ragged tail by repeating row 0
         n_valid = raw["mouth_u8"].shape[0]
-        if n_valid < batch_size:
-            reps = batch_size - n_valid
+        if n_valid < local_batch:
+            reps = local_batch - n_valid
             raw = {
                 k: np.concatenate([v, np.repeat(v[:1], reps, 0)]) for k, v in raw.items()
             }
-        batch = prepare_batch(
-            {k: jnp.asarray(v) for k, v in raw.items()}, cfg.audio, cfg.data
-        )
+        device_raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        if mesh is not None:
+            if n_proc > 1:
+                device_raw = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        mesh_sharding, np.asarray(x)
+                    ),
+                    raw,
+                )
+            else:
+                device_raw = jax.device_put(device_raw, mesh_sharding)
+        batch = prepare_batch(device_raw, cfg.audio, cfg.data)
         key, sub = jax.random.split(key)
         wav_pred = forward_invert(variables, batch, sub)
-        gt = np.asarray(raw["audio"])
+        gt = np.asarray(raw["audio"])  # this process' rows
         if device_estoi:
-            # batched on-device ESTOI — same algorithm with static-shape
+            # batched on-device metric — same algorithm with static-shape
             # silent-frame excision; measured ≤ 2.7e-4 off the host metric
             # on fixture speech (tests/test_estoi_oracle.py)
-            batch_scores = np.asarray(
-                estoi_ops.estoi_batch_jax(
-                    jnp.asarray(gt), wav_pred, lengths=raw["audio_lengths"],
-                    fs=cfg.audio.sample_rate,
-                )
+            gt_dev = batch["audio"] if mesh is not None else jnp.asarray(gt)
+            lens = (
+                batch["audio_lengths"] if mesh is not None
+                else jnp.asarray(raw["audio_lengths"])
             )
-            scores.extend(batch_scores[:n_valid].tolist())
+            batch_scores = batch_fn(
+                gt_dev, wav_pred, lengths=lens, fs=cfg.audio.sample_rate
+            )
+            local_scores = _local_rows(batch_scores) if n_proc > 1 else np.asarray(
+                batch_scores
+            )
+            scores.extend(local_scores[:n_valid].tolist())
         else:
-            wav_pred = np.asarray(wav_pred)
+            wav_np = _local_rows(wav_pred) if n_proc > 1 else np.asarray(wav_pred)
             for i in range(n_valid):
                 n = int(raw["audio_lengths"][i])
                 scores.append(
-                    estoi_ops.estoi(gt[i, :n], wav_pred[i, :n], cfg.audio.sample_rate)
+                    host_fn(gt[i, :n], wav_np[i, :n], cfg.audio.sample_rate)
                 )
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        totals = multihost_utils.process_allgather(
+            np.asarray([float(np.sum(scores)), float(len(scores))])
+        )
+        totals = np.asarray(totals).reshape(-1, 2)
+        return float(totals[:, 0].sum() / max(totals[:, 1].sum(), 1.0))
     return float(np.mean(scores)) if scores else 0.0
+
+
+def _local_rows(arr) -> np.ndarray:
+    """Process-local rows of a batch-sharded global array, in row order
+    (multi-host: every process scores only the rows its loader produced).
+    Deduplicates by row range — devices along the model axis hold
+    identical replicas of each data shard."""
+    seen: dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)

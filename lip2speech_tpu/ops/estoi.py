@@ -1,20 +1,26 @@
-"""(E)STOI speech-intelligibility metric.
+"""(E)STOI speech-intelligibility metrics.
 
 Replacement for the reference's pystoi dependency
 (``/root/reference/evaluate.py:14,44-47``; pystoi is not installable here).
 Implemented from Taal et al. 2011 (STOI) / Jensen & Taal 2016 (ESTOI)
 following the pystoi reference structure: resample to 10 kHz, drop silent
 frames (40 dB range), 512-pt STFT (256 frame / 128 hop, Hann), 15
-one-third-octave bands from 150 Hz, 384 ms (N=30 frame) segments;
-ESTOI = mean over segments of the row+column-normalized correlation.
+one-third-octave bands from 150 Hz, 384 ms (N=30 frame) segments.
+ESTOI = mean over segments of the row+column-normalized correlation;
+STOI = mean over (band, segment) of the clipped (+15 dB SDR bound)
+per-band time correlation. The reference code only computes ESTOI, but
+its Report.pdf Table 2 targets STOI 0.66 as well (BASELINE.md), so both
+are provided.
 
-Two implementations:
-  * :func:`estoi` — exact numpy version (host; the parity metric).
-  * :func:`estoi_batch_jax` — static-shape JAX version for on-device batched
-    evaluation. It reproduces the host algorithm's silent-frame *excision*
-    exactly with static shapes (stable compaction + overlap-add + re-frame);
-    the only residual skew vs the host version is f32-vs-f64 arithmetic,
-    measured < 2.7e-4 on real fixture speech (tests/test_estoi_oracle.py).
+Four implementations:
+  * :func:`estoi` / :func:`stoi` — exact numpy versions (host; the parity
+    metrics).
+  * :func:`estoi_batch_jax` / :func:`stoi_batch_jax` — static-shape JAX
+    versions for on-device batched evaluation. They reproduce the host
+    algorithm's silent-frame *excision* exactly with static shapes (stable
+    compaction + overlap-add + re-frame); the only residual skew vs the
+    host versions is f32-vs-f64 arithmetic, measured < 2.7e-4 on real
+    fixture speech (tests/test_estoi_oracle.py).
 """
 
 from __future__ import annotations
@@ -36,7 +42,24 @@ NUM_BANDS = 15
 MIN_FREQ = 150.0
 N_SEG = 30
 DYN_RANGE = 40.0
+BETA = -15.0  # STOI lower SDR clipping bound, dB (Taal 2011 §II-C)
 EPS = np.finfo(np.float64).eps
+
+
+def _jax_jit_lazy(fn, **jit_kwargs):
+    """jax.jit applied on first call (keeps jax an import-time-optional
+    dependency of the host-side metrics)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if wrapper._jitted is None:
+            import jax
+
+            wrapper._jitted = jax.jit(fn, **jit_kwargs)
+        return wrapper._jitted(*args, **kwargs)
+
+    wrapper._jitted = None
+    return wrapper
 
 
 @functools.lru_cache(maxsize=1)
@@ -107,19 +130,21 @@ def _row_col_normalize(seg: np.ndarray) -> np.ndarray:
     return s
 
 
-def estoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
-    """Extended STOI of ``denoised`` against ``clean``; range ~[-1, 1]."""
+def _host_band_envelopes(clean, denoised, fs):
+    """Shared (E)STOI front-end: trim, resample, excise silence, band
+    envelopes. Returns (xb, yb) of shape (NUM_BANDS, F)."""
     clean = np.asarray(clean, np.float64)
     denoised = np.asarray(denoised, np.float64)
     n = min(len(clean), len(denoised))
-    clean, denoised = clean[:n], denoised[:n]
-
-    x = _resample_10k(clean, fs)
-    y = _resample_10k(denoised, fs)
+    x = _resample_10k(clean[:n], fs)
+    y = _resample_10k(denoised[:n], fs)
     x, y = _remove_silent(x, y)
+    return _band_env(x), _band_env(y)
 
-    xb = _band_env(x)  # (15, F)
-    yb = _band_env(y)
+
+def estoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
+    """Extended STOI of ``denoised`` against ``clean``; range ~[-1, 1]."""
+    xb, yb = _host_band_envelopes(clean, denoised, fs)
     nf = xb.shape[1]
     if nf < N_SEG:
         return 1e-5  # pystoi's not-enough-frames sentinel
@@ -134,26 +159,49 @@ def estoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
     return float(np.mean(corr))
 
 
+def stoi(clean: np.ndarray, denoised: np.ndarray, fs: int = 16000) -> float:
+    """STOI (Taal et al. 2011) of ``denoised`` against ``clean``.
+
+    Same front-end as :func:`estoi`; per (segment, band): scale the
+    degraded envelope to the clean energy, clip at the +15 dB SDR bound
+    (Y' = min(alpha*Y, (1+10^(-BETA/20))*X)), then correlate over time.
+    Targets the STOI 0.66 row of BASELINE.md (Report.pdf Table 2).
+    """
+    xb, yb = _host_band_envelopes(clean, denoised, fs)
+    nf = xb.shape[1]
+    if nf < N_SEG:
+        return 1e-5
+
+    # segments (M, J, N): per segment, per band, N time frames
+    segs_x = np.stack([xb[:, m - N_SEG : m] for m in range(N_SEG, nf + 1)])
+    segs_y = np.stack([yb[:, m - N_SEG : m] for m in range(N_SEG, nf + 1)])
+    alpha = np.linalg.norm(segs_x, axis=2, keepdims=True) / (
+        np.linalg.norm(segs_y, axis=2, keepdims=True) + EPS
+    )
+    y_prime = np.minimum(alpha * segs_y, segs_x * (1 + 10 ** (-BETA / 20)))
+    xc = segs_x - np.mean(segs_x, axis=2, keepdims=True)
+    yc = y_prime - np.mean(y_prime, axis=2, keepdims=True)
+    xc = xc / (np.linalg.norm(xc, axis=2, keepdims=True) + EPS)
+    yc = yc / (np.linalg.norm(yc, axis=2, keepdims=True) + EPS)
+    return float(np.mean(np.sum(xc * yc, axis=2)))
+
+
 # ---------------------------------------------------------------------------
 # Batched JAX version (static shapes, silent-frame masking)
 # ---------------------------------------------------------------------------
 
 
-def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
-    """Batched ESTOI on device: clean/denoised (B, S) @ 16 kHz.
-
-    Static-shape implementation of the same algorithm as :func:`estoi`:
+def _batch_band_envelopes_jax(clean, denoised, lengths=None, fs: int = 16000):
+    """Shared static-shape (E)STOI front-end on device.
 
     * exact scipy ``resample_poly``-equivalent polyphase 5/8 resampler
       (161-tap kaiser(5.0) FIR, group-delay-aligned full convolution);
     * silent-frame *excision* reproduced with static shapes — kept frames
       are stably compacted to the front, overlap-added back to a signal,
-      and re-framed, exactly as the host version excises;
-    * segments beyond the per-clip kept-frame count are masked out of the
-      average.
+      and re-framed, exactly as the host version excises.
 
-    Residual skew vs the host version is f32-vs-f64 arithmetic only
-    (measured < 2e-3 on real fixture speech; tests/test_estoi_oracle.py).
+    Returns (xb, yb, n_keep, nfr): band envelopes (B, NUM_BANDS, F), the
+    per-clip surviving-frame counts, and the static frame count.
     """
     import jax.numpy as jnp
     from scipy.signal import firwin
@@ -224,7 +272,24 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     ys = jnp.abs(jnp.fft.rfft(yr, NFFT, axis=-1)) ** 2
     xb = jnp.sqrt(jnp.einsum("jf,bnf->bjn", obm, xs))  # (B, 15, F)
     yb = jnp.sqrt(jnp.einsum("jf,bnf->bjn", obm, ys))
+    return xb, yb, n_keep, nfr
 
+
+@functools.partial(_jax_jit_lazy, static_argnames=("fs",))
+def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
+    """Batched ESTOI on device: clean/denoised (B, S) @ 16 kHz.
+
+    Static-shape implementation of the same algorithm as :func:`estoi`
+    (see :func:`_batch_band_envelopes_jax` for the shared front-end);
+    segments beyond the per-clip kept-frame count are masked out of the
+    average. Residual skew vs the host version is f32-vs-f64 arithmetic
+    only (measured < 2.7e-4 on real fixture speech;
+    tests/test_estoi_oracle.py). Jitted: one compiled program per batch
+    shape (eager per-op dispatch through the TPU tunnel is ~100x slower).
+    """
+    import jax.numpy as jnp
+
+    xb, yb, n_keep, nfr = _batch_band_envelopes_jax(clean, denoised, lengths, fs)
     n_segs = nfr - N_SEG + 1
     sidx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
     segs_x = xb[:, :, sidx]  # (B, J, M, N)
@@ -246,4 +311,32 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     score = jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
     # match the host/pystoi not-enough-frames sentinel (estoi() returns
     # 1e-5 when fewer than N_SEG frames survive excision)
+    return jnp.where(n_keep >= N_SEG, score, 1e-5)
+
+
+@functools.partial(_jax_jit_lazy, static_argnames=("fs",))
+def stoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
+    """Batched STOI on device: the static-shape twin of :func:`stoi`
+    (same shared front-end as :func:`estoi_batch_jax`, same segment
+    masking and short-clip sentinel)."""
+    import jax.numpy as jnp
+
+    xb, yb, n_keep, nfr = _batch_band_envelopes_jax(clean, denoised, lengths, fs)
+    n_segs = nfr - N_SEG + 1
+    sidx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
+    segs_x = xb[:, :, sidx]  # (B, J, M, N)
+    segs_y = yb[:, :, sidx]
+    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_keep[:, None]  # (B, M)
+
+    alpha = jnp.linalg.norm(segs_x, axis=-1, keepdims=True) / (
+        jnp.linalg.norm(segs_y, axis=-1, keepdims=True) + 1e-20
+    )
+    y_prime = jnp.minimum(alpha * segs_y, segs_x * (1 + 10 ** (-BETA / 20)))
+    xc = segs_x - jnp.mean(segs_x, axis=-1, keepdims=True)
+    yc = y_prime - jnp.mean(y_prime, axis=-1, keepdims=True)
+    xc = xc / (jnp.linalg.norm(xc, axis=-1, keepdims=True) + 1e-20)
+    yc = yc / (jnp.linalg.norm(yc, axis=-1, keepdims=True) + 1e-20)
+    corr = jnp.mean(jnp.sum(xc * yc, axis=-1), axis=1)  # (B, M): band mean
+    denom = jnp.maximum(jnp.sum(seg_ok, axis=1), 1)
+    score = jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
     return jnp.where(n_keep >= N_SEG, score, 1e-5)

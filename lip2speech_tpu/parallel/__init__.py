@@ -6,5 +6,7 @@ from lip2speech_tpu.parallel.mesh import (
     shard_pytree,
     batch_sharding,
     replicated,
+    shard_like,
+    shard_train_state,
     TP_RULES,
 )

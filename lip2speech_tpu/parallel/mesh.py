@@ -41,8 +41,9 @@ def create_mesh(
     n = len(devices)
     if n_data == -1:
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
-    grid = np.asarray(devices).reshape(n_data, n_model)
+    want = n_data * n_model
+    assert 0 < want <= n, (n_data, n_model, n)
+    grid = np.asarray(devices[:want]).reshape(n_data, n_model)
     return Mesh(grid, (data_axis, model_axis))
 
 
@@ -119,3 +120,58 @@ def distribute_batch(batch: Any, mesh: Mesh, process_count: int | None = None):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _path_keys(path) -> tuple:
+    return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def opt_state_shardings(opt_abstract: Any, mesh: Mesh, param_specs: Any) -> Any:
+    """Shardings for an (abstract) optax state pytree: moment buffers that
+    mirror a param (adam mu/nu/nu_max nest the full params dict inside the
+    optax NamedTuples) get that param's spec, matched by path SUFFIX;
+    everything else (counts, flags) replicates."""
+    spec_map: dict[tuple, P] = {}
+    for path, spec in jax.tree_util.tree_flatten_with_path(
+        param_specs, is_leaf=lambda x: isinstance(x, P)
+    )[0]:
+        spec_map[_path_keys(path)] = spec
+
+    def sharding_for(path, leaf):
+        keys = _path_keys(path)
+        for i in range(len(keys)):
+            spec = spec_map.get(keys[i:])
+            if spec is not None and len(spec) <= len(leaf.shape):
+                return NamedSharding(mesh, spec)
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(sharding_for, opt_abstract)
+
+
+def shard_train_state(state, mesh: Mesh, specs: Any, tx):
+    """Place a TrainState on the mesh with tensor-parallel param specs.
+
+    Params go to their ``specs`` shardings; batch_stats and counters
+    replicate; the optimizer state is (re)initialized under jit with
+    explicit ``out_shardings`` from :func:`opt_state_shardings` (the init
+    output has no data dependence on its inputs, so GSPMD propagation
+    alone would leave it on the default device). Call before any update
+    (or re-shard a restored payload with :func:`shard_like`)."""
+    params = shard_pytree(state.params, mesh, specs)
+    out_sh = opt_state_shardings(jax.eval_shape(tx.init, params), mesh, specs)
+    opt_state = jax.jit(tx.init, out_shardings=out_sh)(params)
+    return state._replace(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=params,
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_state=opt_state,
+    )
+
+
+def shard_like(tree: Any, reference: Any) -> Any:
+    """device_put every leaf of ``tree`` (e.g. a numpy checkpoint payload)
+    with the sharding of the corresponding leaf in ``reference`` — restores
+    checkpoints INTO the live TP/DP shardings."""
+    return jax.tree.map(
+        lambda x, ref: jax.device_put(x, ref.sharding), tree, reference
+    )

@@ -230,3 +230,138 @@ def test_device_estoi_too_short_matches_host_sentinel():
     assert host == pytest.approx(1e-5)
     dev = np.asarray(estoi_ops.estoi_batch_jax(jnp.asarray(x), jnp.asarray(y)))
     assert dev[0] == pytest.approx(1e-5)
+
+
+# ---------------------------------------------------------------------------
+# STOI (VERDICT r2 item 6): same oracle pattern as ESTOI
+# ---------------------------------------------------------------------------
+
+
+def _oracle_stoi(clean, degraded, fs):
+    """STOI implemented directly from Taal et al. 2011 (the algorithm
+    pystoi implements), sharing no code with lip2speech_tpu.ops.estoi:
+    per (segment, band), scale the degraded envelope to the clean energy,
+    clip at the +15 dB SDR bound, correlate over time, average."""
+    from scipy.signal import resample_poly
+
+    n = min(len(clean), len(degraded))
+    x, y = np.asarray(clean[:n], np.float64), np.asarray(degraded[:n], np.float64)
+    if fs != 10000:
+        g = math.gcd(int(fs), 10000)
+        x = resample_poly(x, 10000 // g, fs // g)
+        y = resample_poly(y, 10000 // g, fs // g)
+
+    win = np.hanning(258)[1:-1]
+    eps = np.finfo(np.float64).eps
+
+    def frame(sig):
+        return [win * sig[s : s + 256] for s in range(0, len(sig) - 255, 128)]
+
+    xf, yf = frame(x), frame(y)
+    db = [20 * np.log10(np.sqrt(np.sum(f * f)) + eps) for f in xf]
+    keep = [d > max(db) - 40.0 for d in db]
+    xf = [f for f, k in zip(xf, keep) if k]
+    yf = [f for f, k in zip(yf, keep) if k]
+    if not xf:
+        return 1e-5
+
+    def ola(frames):
+        sig = np.zeros((len(frames) - 1) * 128 + 256)
+        for i, f in enumerate(frames):
+            sig[i * 128 : i * 128 + 256] += f
+        return sig
+
+    x, y = ola(xf), ola(yf)
+
+    def band_envelopes(sig):
+        spec = [
+            np.fft.rfft(win * sig[s : s + 256], 512)
+            for s in range(0, len(sig) - 255, 128)
+        ]
+        power = np.abs(np.stack(spec)) ** 2
+        return np.stack(
+            [np.sqrt(power[:, lo:hi].sum(axis=1)) for lo, hi in THIRDOCT_EDGES]
+        )  # (15, frames)
+
+    xb, yb = band_envelopes(x), band_envelopes(y)
+    nf = xb.shape[1]
+    if nf < 30:
+        return 1e-5
+
+    clip = 10 ** (15.0 / 20.0)  # BETA = -15 dB
+    d = []
+    for m in range(30, nf + 1):
+        for j in range(15):
+            xs = xb[j, m - 30 : m]
+            ys = yb[j, m - 30 : m]
+            alpha = np.sqrt(np.sum(xs * xs)) / (np.sqrt(np.sum(ys * ys)) + eps)
+            yp = np.minimum(alpha * ys, (1 + clip) * xs)
+            xc = xs - xs.mean()
+            yc = yp - yp.mean()
+            # pystoi normalizes each vector with +eps on its own norm
+            d.append(
+                np.sum(
+                    (xc / (np.sqrt(np.sum(xc * xc)) + eps))
+                    * (yc / (np.sqrt(np.sum(yc * yc)) + eps))
+                )
+            )
+    return float(np.mean(d))
+
+
+@pytest.mark.skipif(not FIXTURE_AUDIO, reason="reference fixture unavailable")
+def test_stoi_matches_independent_oracle_on_fixture_speech():
+    x = _fixture_speech(0)
+    rng = np.random.RandomState(0)
+    pairs = [(x, x)]
+    for snr in (15, 5, -5):
+        n = rng.randn(len(x))
+        n *= np.sqrt((x**2).mean() / 10 ** (snr / 10) / (n**2).mean())
+        pairs.append((x, x + n))
+    pairs.append((x, _fixture_speech(3)[: len(x)]))
+    for clean, deg in pairs:
+        want = _oracle_stoi(clean, deg, 16000)
+        got = estoi_ops.stoi(clean, deg, 16000)
+        assert got == pytest.approx(want, abs=1e-8), (got, want)
+    # identity scores ~1, and STOI degrades monotonically with SNR here
+    assert estoi_ops.stoi(x, x, 16000) == pytest.approx(1.0, abs=1e-6)
+    snr_scores = [estoi_ops.stoi(c, d, 16000) for c, d in pairs[1:4]]
+    assert snr_scores[0] > snr_scores[1] > snr_scores[2]
+
+
+@pytest.mark.skipif(not FIXTURE_AUDIO, reason="reference fixture unavailable")
+def test_stoi_oracle_with_injected_silence():
+    x = _fixture_speech(1)
+    x[5000:9000] = 0.0
+    x[:2000] = 0.0
+    rng = np.random.RandomState(1)
+    y = x + 0.05 * rng.randn(len(x)) * np.abs(x).max()
+    assert estoi_ops.stoi(x, y, 16000) == pytest.approx(
+        _oracle_stoi(x, y, 16000), abs=1e-8
+    )
+
+
+def test_stoi_too_short_returns_sentinel():
+    x = np.random.RandomState(2).randn(2000)
+    assert estoi_ops.stoi(x, x, 16000) == pytest.approx(1e-5)
+
+
+@pytest.mark.skipif(not FIXTURE_AUDIO, reason="reference fixture unavailable")
+def test_device_stoi_skew_bound_on_real_speech():
+    """stoi_batch_jax vs host stoi, same protocol as the ESTOI bound."""
+    rng = np.random.RandomState(0)
+    clean, deg = [], []
+    n = 19456
+    for i in range(4):
+        x = _fixture_speech(i)[:n]
+        if i >= 2:
+            x[4000:8000] = 0.0
+        noise = rng.randn(n)
+        snr = 10 - 5 * i
+        noise *= np.sqrt((x**2).mean() / 10 ** (snr / 10) / (noise**2).mean())
+        clean.append(x)
+        deg.append(x + noise)
+    clean, deg = np.stack(clean), np.stack(deg)
+
+    device = np.asarray(estoi_ops.stoi_batch_jax(clean, deg))
+    host = np.array([estoi_ops.stoi(c, d) for c, d in zip(clean, deg)])
+    assert np.abs(device - host).max() < 2e-3, (device, host)

@@ -87,6 +87,12 @@ def test_evaluate_net_smoke(synth_root):
     )
     assert np.isfinite(score)
     assert -1.0 <= score <= 1.0
+    # --metric stoi path (VERDICT r2 item 6)
+    s2 = evaluate_net(
+        model, variables, ds, cfg, batch_size=3, n_gl_iters=4, max_batches=1,
+        metric="stoi",
+    )
+    assert np.isfinite(s2) and -1.0 <= s2 <= 1.0
 
 
 def test_demo_cli_writes_artifacts(synth_root, tmp_path, monkeypatch):
