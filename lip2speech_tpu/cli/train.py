@@ -122,7 +122,24 @@ def train(args, cfg: Config | None = None) -> dict:
         best_score = float(extra.get("best_score", -1.0))
         print(f"resumed at step {start_it} (best ESTOI {best_score:.4f})")
 
-    step_fn = make_train_step(cfg, model, tx)
+    critic = None
+    if cfg.train.adversarial:
+        # WGAN critic (reference losses.py:83-136, unwired there): one
+        # combined jitted step updates generator (with adversarial terms)
+        # and critic each iteration. The critic re-initializes on resume —
+        # it is cheap to rewarm and the reference checkpoints no critic.
+        from lip2speech_tpu.train.adversarial import (
+            init_critic,
+            make_adversarial_train_step,
+        )
+
+        disc, critic_tx, critic = init_critic(
+            cfg, jax.random.PRNGKey(tc.seed + 17), batch_size
+        )
+        critic = jax.device_put(critic, replicated(mesh))
+        step_fn = make_adversarial_train_step(cfg, model, tx, disc, critic_tx)
+    else:
+        step_fn = make_train_step(cfg, model, tx)
     logger = MetricLogger(args.run_dir)
     # per-process dataset sharding: each host reads only its slice of every
     # global batch; distribute_batch assembles the global sharded array
@@ -150,7 +167,12 @@ def train(args, cfg: Config | None = None) -> dict:
             cfg.data,
         )
         batch.pop("audio"), batch.pop("audio_lengths")
-        state, metrics = step_fn(state, batch, jnp.float32(tf_ratio), rng)
+        if critic is not None:
+            state, critic, metrics = step_fn(
+                state, critic, batch, jnp.float32(tf_ratio), rng
+            )
+        else:
+            state, metrics = step_fn(state, batch, jnp.float32(tf_ratio), rng)
         if jax.default_backend() == "cpu" and len(mesh.devices.flat) > 1:
             # The in-process CPU collective backend (virtual multi-device
             # test meshes) can deadlock its rendezvous when two programs

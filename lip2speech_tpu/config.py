@@ -137,6 +137,14 @@ class TrainConfig:
     skip_nonfinite_updates: bool = True
     # consecutive non-finite steps tolerated before optax gives up
     max_consecutive_nonfinite: int = 100
+    # WGAN adversarial mode (--override train.adversarial=True): each
+    # iteration updates the mel-patch critic (rmsprop + weight clamp) and
+    # adds the generator terms (-D(fake) + 10x L1 feature matching) to the
+    # model loss — the reference implements this pair
+    # (train_utils/losses.py:83-136) but never wires it into train.py; off
+    # by default to match.
+    adversarial: bool = False
+    adversarial_critic_lr: float = 5e-5  # standard WGAN critic rmsprop lr
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,7 +73,7 @@ class Lip2Speech(nn.Module):
             [feats, jnp.tile(speaker_embedding[:, None, :], (1, T, 1))], axis=-1
         )
 
-        return Decoder(self.cfg, name="decoder")(
+        out = Decoder(self.cfg, name="decoder")(
             visual,
             speaker_embedding,
             mels=mels,
@@ -81,6 +81,10 @@ class Lip2Speech(nn.Module):
             rngs=rngs,
             train=train and not inference,
         )
+        # conditioning vector, exposed for the WGAN critic (the reference's
+        # AdversarialLoss consumes the same embedding, losses.py:92-99)
+        out["speaker_embedding"] = speaker_embedding
+        return out
 
 
 def get_network(cfg: ModelConfig) -> Lip2Speech:

@@ -3,10 +3,14 @@
 The reference implements an adversarial pair (WGAN critic over random mel
 patches + feature-matching generator loss,
 ``/root/reference/train_utils/losses.py:83-136``) but never wires it into
-its default loop. Here it is a first-class opt-in: one extra jitted step
-that (1) updates the critic with weight clamping and (2) adds the
-generator terms to the main model's gradients, mirroring the reference's
-``discriminator_forward`` + ``AdversarialLoss`` semantics.
+its default loop. Here it is a first-class opt-in
+(``--override train.adversarial=True``): :func:`adversarial_train_step`
+is ONE jitted program per iteration that (1) adds the generator terms
+(-D(fake) + 10x L1 feature matching) to the model loss/gradients and
+(2) updates the critic with rmsprop + weight clamping on the fresh fake
+mels, mirroring the reference's ``AdversarialLoss.forward`` +
+``discriminator_forward`` semantics. The train CLI switches to this step
+when the knob is on (cli/train.py).
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def init_critic(cfg: Config, rng: jax.Array, batch_size: int = 2):
     spk = jnp.zeros((batch_size, cfg.model.face_embedding_dim))
     patch = sample_patch(rng, mel.shape[-1], cfg.model.discriminator_patch)
     variables = disc.init(rng, mel, spk, patch, train=False)
-    tx = optax.rmsprop(5e-5)  # standard WGAN critic optimizer
+    tx = optax.rmsprop(cfg.train.adversarial_critic_lr)  # standard WGAN critic
     return (
         disc,
         tx,
@@ -108,3 +112,111 @@ def generator_terms(
 
 def make_critic_step(disc: Discriminator, tx):
     return jax.jit(functools.partial(critic_step, disc=disc, tx=tx), donate_argnums=(0,))
+
+
+def adversarial_train_step(
+    state,
+    critic: CriticState,
+    batch: dict[str, jnp.ndarray],
+    tf_ratio: jnp.ndarray,
+    rng: jax.Array,
+    cfg: Config,
+    model,
+    tx,
+    disc: Discriminator,
+    critic_tx,
+):
+    """One combined generator+critic optimization step.
+
+    The generator half mirrors train_step.train_step (same losses, bf16
+    policy, freeze semantics) with the adversarial terms added to the
+    total (reference AdversarialLoss.forward, losses.py:90-112); the
+    critic half then takes its WGAN step + weight clamp on the same fresh
+    fake mels (discriminator_forward, losses.py:114-136).
+    """
+    import optax as _optax
+
+    from lip2speech_tpu.train.losses import lip2speech_loss
+    from lip2speech_tpu.train.train_step import TrainState, cast_floats, uncast_floats
+
+    step_rng = jax.random.fold_in(rng, state.step)
+    names = [
+        "gumbel", "teacher", "dropout", "postnet_dropout", "encoder_dropout",
+        "patch_g", "patch_d",
+    ]
+    keys = dict(zip(names, jax.random.split(step_rng, len(names))))
+
+    bf16 = cfg.train.bf16
+    fwd_batch = cast_floats(batch, jnp.bfloat16) if bf16 else batch
+
+    def loss_fn(params):
+        fwd_params = cast_floats(params, jnp.bfloat16) if bf16 else params
+        fwd_stats = (
+            cast_floats(state.batch_stats, jnp.bfloat16) if bf16 else state.batch_stats
+        )
+        outputs, updates = model.apply(
+            {"params": fwd_params, "batch_stats": fwd_stats},
+            fwd_batch["video"],
+            fwd_batch.get("faces"),
+            fwd_batch["mel"],
+            tf_ratio,
+            fwd_batch.get("speaker_embedding"),
+            {k: keys[k] for k in names[:5]},
+            train=True,
+            mutable=["batch_stats"],
+        )
+        outputs = uncast_floats(outputs) if bf16 else outputs
+        new_stats = (
+            uncast_floats(updates["batch_stats"]) if bf16 else updates["batch_stats"]
+        )
+        losses = lip2speech_loss(
+            outputs,
+            batch["mel"],
+            batch["gate"],
+            postnet_weight=cfg.train.postnet_loss_weight,
+            mel_mask=batch.get("mel_mask") if cfg.train.masked_loss else None,
+        )
+        adv = generator_terms(
+            critic, batch["mel"], outputs["mel_postnet"],
+            outputs["speaker_embedding"], keys["patch_g"], disc,
+        )
+        losses = dict(losses)
+        losses.update(adv)
+        losses["total"] = losses["total"] + adv["g_loss"] + adv["g_d_fm_loss"]
+        aux = (losses, new_stats, jax.lax.stop_gradient(outputs["mel_postnet"]),
+               jax.lax.stop_gradient(outputs["speaker_embedding"]))
+        return losses["total"], aux
+
+    (loss, (losses, new_stats, fake_mel, spk)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = _optax.apply_updates(state.params, updates)
+
+    new_critic, d_loss = critic_step(
+        critic, batch["mel"], fake_mel, spk, keys["patch_d"], disc, critic_tx
+    )
+
+    metrics = dict(losses)
+    metrics["d_loss"] = d_loss
+    metrics["grad_norm"] = _optax.global_norm(grads)
+    if hasattr(new_opt_state, "notfinite_count"):
+        metrics["notfinite_count"] = new_opt_state.notfinite_count
+
+    return (
+        TrainState(state.step + 1, new_params, new_stats, new_opt_state),
+        new_critic,
+        metrics,
+    )
+
+
+def make_adversarial_train_step(cfg: Config, model, tx, disc: Discriminator, critic_tx):
+    """jit-compiled combined step (donates model + critic state)."""
+    return jax.jit(
+        functools.partial(
+            adversarial_train_step,
+            cfg=cfg, model=model, tx=tx, disc=disc, critic_tx=critic_tx,
+        ),
+        donate_argnums=(0, 1),
+    )

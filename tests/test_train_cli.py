@@ -151,3 +151,38 @@ def test_train_cli_model_parallel_real(roots, tmp_path, monkeypatch):
     assert psharded2.keys() == psharded.keys()
     for _, leaf in jax.tree_util.tree_flatten_with_path(state2.opt_state)[0]:
         assert len(leaf.devices()) == 8, leaf.sharding
+
+
+def test_train_cli_adversarial_knob(roots, tmp_path):
+    """`--override train.adversarial=True` drives the combined WGAN step
+    through the production CLI: critic loss logged and finite."""
+    import dataclasses
+    import json
+
+    from lip2speech_tpu.cli import train as train_cli
+
+    cfg = Config(model=TINY_MODEL)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, adversarial=True)
+    )
+    run_dir = str(tmp_path / "run_adv")
+    args = train_cli.parse_args(
+        [
+            "--root", roots,
+            "--batch_size", "2",
+            "--max_iters", "2",
+            "--eval_interval", "100",
+            "--log_interval", "1",
+            "--run_dir", run_dir,
+            "--ckpt_dir", str(tmp_path / "ckpt_adv"),
+        ]
+    )
+    train_cli.train(args, cfg)
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    step_rows = [r for r in rows if "d_loss" in r]
+    assert step_rows, rows[:2]
+    import numpy as np
+
+    assert all(np.isfinite(r["d_loss"]) for r in step_rows)
+    assert all(np.isfinite(r["g_loss"]) for r in step_rows)
