@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lip2speech_tpu.config import Config, ModelConfig
 from lip2speech_tpu.train.adversarial import (
@@ -46,6 +47,7 @@ def test_generator_terms_finite_and_signed():
     assert float(terms["g_d_fm_loss"]) >= 0
 
 
+@pytest.mark.slow
 def test_adversarial_train_step_integration():
     """VERDICT r2 item 5: N combined generator+critic steps on the virtual
     DP mesh — finite losses, MOVING critic loss, adversarial terms in the

@@ -72,6 +72,7 @@ def synth_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_evaluate_net_smoke(synth_root):
     from lip2speech_tpu.cli.common import init_variables
     from lip2speech_tpu.data import get_dataset

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.skipif(
     jax.device_count() != 8, reason="needs the 8-device virtual CPU mesh"
 )
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_process():
     from lip2speech_tpu.parallel import create_mesh, distribute_batch
     from tests.multihost_common import build_global_batch, make_setup, run_one_step

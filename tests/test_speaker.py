@@ -50,6 +50,7 @@ def test_reconstruction_loss():
     assert float(reconstruction_loss(a, a * 0)["rec_loss"]) == pytest.approx(10.0)
 
 
+@pytest.mark.slow
 def test_speaker_train_step_runs():
     models, params, stats, spk_vars = init_speaker_training(
         CFG, jax.random.PRNGKey(0), batch_size=2
@@ -85,6 +86,7 @@ def test_speaker_train_step_runs():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_speaker_train_step_data_parallel():
     """Speaker pretraining step over an 8-device DP mesh: replicated param
     groups, batch sharded on 'data'; loss finite, params stay replicated

@@ -209,3 +209,99 @@ def test_contrastive_loss_matches_reference():
     np.testing.assert_allclose(
         float(got["l2_loss"]), float(want["l2_loss"]), atol=1e-5, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_full_inference_300_steps_matches_reference():
+    """VERDICT r2 item 4: FREE-RUNNING parity over the full inference
+    horizon — encoder + decoder end to end (the reference Lip2Speech
+    minus its facenet, wired exactly as model/model.py:43-58 with an
+    injected speaker embedding), all ``max_decoder_steps``=300 AR steps
+    on converted random weights. The strongest offline substitute for
+    checkpoint parity while the released .pth is not downloadable.
+
+    Asserts the mel trajectory within a measured tolerance and the
+    first-gate-crossing lengths within one step (the divergence numbers
+    are recorded in PARITY.md)."""
+    import torch
+
+    video_mod, decoder_mod = _import_ref()
+    torch.manual_seed(0)
+    ref_enc = video_mod.VideoExtractor().eval()
+    ref_dec = decoder_mod.Decoder().eval()
+    with torch.no_grad():
+        ref_dec.content.word_embeddings.zero_()  # neutralize gumbel VALUE path
+        # bias the stop token negative so the first gate>0.5 crossing
+        # happens mid-trajectory (a per-row data-dependent index) instead
+        # of at step 1 — a real test of the free-running stop tracking
+        ref_dec.stop_token_layer.linear_layer.bias.fill_(-0.05)
+
+    sd = {f"encoder.{k}": v.detach().numpy() for k, v in ref_enc.state_dict().items()}
+    sd.update(
+        {f"decoder.{k}": v.detach().numpy() for k, v in ref_dec.state_dict().items()}
+    )
+
+    from lip2speech_tpu.config import ModelConfig
+    from lip2speech_tpu.models import Decoder, VideoExtractor
+    from lip2speech_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig()
+    assert cfg.max_decoder_steps == 300  # the reference horizon
+    converted = ckpt.torch_to_flax(sd, cfg, strict=False)
+
+    B, T = 2, 29  # full LRW clip length
+    rng = np.random.RandomState(0)
+    video = rng.randn(B, 3, T, 96, 96).astype(np.float32) * 0.3
+    speaker = rng.randn(B, 256).astype(np.float32)
+    speaker /= np.linalg.norm(speaker, axis=-1, keepdims=True)
+
+    # ---- reference free-run (model.py:43-58 wiring, facenet replaced by
+    # the injected embedding; decoder.inference runs the fixed 300 steps
+    # recording the first gate>0.5 per row, decoder.py:412-435)
+    with torch.no_grad():
+        feats = ref_enc(torch.from_numpy(video))  # (B, T, 768)
+        face_tiled = torch.from_numpy(speaker)[:, None, :].repeat(1, feats.shape[1], 1)
+        visual = torch.cat([feats, face_tiled], dim=2)
+        # inference returns (postnet-added mel (B, 80, 300), first-gate
+        # crossing lengths) — decoder.py:437-443
+        want_post, want_len = (o.numpy() for o in ref_dec.inference(visual, face_tiled))
+
+    # ---- ours: the same composition via the flax modules
+    enc_vars = {
+        "params": converted["params"]["encoder"],
+        "batch_stats": converted["batch_stats"]["encoder"],
+    }
+    feats_j = VideoExtractor().apply(
+        enc_vars, jnp.asarray(video.transpose(0, 2, 3, 4, 1)), train=False
+    )
+    visual_j = jnp.concatenate(
+        [feats_j, jnp.tile(jnp.asarray(speaker)[:, None, :], (1, T, 1))], axis=-1
+    )
+    dec_vars = {
+        "params": converted["params"]["decoder"],
+        "batch_stats": converted["batch_stats"]["decoder"],
+    }
+    got = Decoder(cfg).apply(
+        dec_vars,
+        visual_j,
+        jnp.asarray(speaker),
+        None,  # mels=None -> free-running inference
+        1.0,
+        {"gumbel": jax.random.PRNGKey(0)},
+        train=False,
+    )
+
+    got_post = np.asarray(got["mel_postnet"], np.float32)
+    got_len = np.asarray(got["lengths"])
+    assert got_post.shape == want_post.shape == (B, 80, 300)
+
+    # free-running drift over 300 dependent steps: measured max|mel| gap
+    # documented in PARITY.md; the trajectory must stay pointwise close
+    post_gap = np.abs(got_post - want_post).max()
+    assert post_gap < 5e-2, post_gap
+    # stop decision: first gate>0.5 index within one step per row
+    assert np.abs(got_len.astype(int) - want_len.astype(int)).max() <= 1, (
+        got_len, want_len,
+    )
+    print(f"300-step free-run: postnet mel gap {post_gap:.2e}, "
+          f"lengths ours={got_len} ref={want_len}")

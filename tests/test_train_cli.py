@@ -26,6 +26,7 @@ def roots(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(roots, tmp_path):
     from lip2speech_tpu.cli import train as train_cli
 
@@ -65,6 +66,7 @@ def test_train_cli_end_to_end(roots, tmp_path):
     assert result2["final_step"] == 3
 
 
+@pytest.mark.slow
 def test_train_cli_model_parallel_real(roots, tmp_path, monkeypatch):
     """VERDICT r2 item 3: --model_parallel through the PRODUCTION CLI path
     must actually shard the decoder matmul kernels (and their optimizer
@@ -153,6 +155,7 @@ def test_train_cli_model_parallel_real(roots, tmp_path, monkeypatch):
         assert len(leaf.devices()) == 8, leaf.sharding
 
 
+@pytest.mark.slow
 def test_train_cli_adversarial_knob(roots, tmp_path):
     """`--override train.adversarial=True` drives the combined WGAN step
     through the production CLI: critic loss logged and finite."""

@@ -222,6 +222,7 @@ def _param_diff_stats(ref, got):
     return worst, n_bad, total
 
 
+@pytest.mark.slow
 def test_dp_tp_numerically_match_single_device(setup):
     """The sharded step must compute the SAME optimization step as the
     unsharded one. Catches sharded-wrong-but-finite bugs (e.g. a TP rule
@@ -363,6 +364,7 @@ def test_bf16_forward_close_to_f32(setup):
     assert c > 0.98, c
 
 
+@pytest.mark.slow
 def test_masked_loss_knob(setup):
     """train.masked_loss=True restricts mel/postnet MSE to valid frames
     (VERDICT r1 item 7): with padded frames the two configs must differ,
