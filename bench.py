@@ -38,7 +38,10 @@ import numpy as np
 REFERENCE_CPU_CLIPS_PER_SEC = 1.421  # measured; tools/measure_reference_baseline.py
 CPU_TO_V100_UPLIFT = 50.0  # documented assumption, BASELINE.md
 REFERENCE_CLIPS_PER_SEC = REFERENCE_CPU_CLIPS_PER_SEC * CPU_TO_V100_UPLIFT
-BATCH = 64
+# B=256 is the measured-best operating point (batch-flat AR loop amortizes:
+# 635 @ 64, 888 @ 128, 949 @ 256 in round 2 — README benchmark table)
+BATCH = 256
+TRAIN_BATCH = 64  # reference recipe batch (hparams.py:79)
 # 32 GL iterations saturate round-trip ESTOI (0.8848 = the 64/128-iter
 # score; tools/sweep_gl_quality.py), and only the speech-bearing mel
 # prefix is inverted — LRW clips are <= MEL_FRAMES frames and the
@@ -121,6 +124,8 @@ def main():
     s, _ = inf_compiled(bf_vars, bf_video, bf_faces, key)
     float(s)  # warm + sync
 
+    # per-batch synced latency (each iteration waits for a host read —
+    # includes one tunnel round trip per batch)
     ts = []
     for i in range(N_ITERS):
         t0 = time.time()
@@ -128,17 +133,32 @@ def main():
         float(s)
         ts.append(time.time() - t0)
     dt_inf = float(np.median(ts))
-    clips_per_sec = b / dt_inf
-    mfu_inference = inf_flops / dt_inf / peak
+    clips_per_sec_synced = b / dt_inf
+
+    # steady-state pipelined throughput: dispatch every batch back to back
+    # (async PJRT dispatch keeps the chip busy — exactly what a serving
+    # loop does), then force completion of every result; wall time covers
+    # first dispatch -> last result read, so nothing is hidden.
+    t0 = time.time()
+    outs = [
+        inf_compiled(bf_vars, bf_video, bf_faces, jax.random.fold_in(key, 100 + i))[0]
+        for i in range(N_ITERS)
+    ]
+    for s in outs:
+        float(s)  # data-dependent reads; all batches complete
+    dt_pipe = (time.time() - t0) / N_ITERS
+    clips_per_sec = b / dt_pipe
+    mfu_inference = inf_flops / dt_pipe / peak
 
     # ---------------- train step (fwd + bwd + AdamW) ----------------
+    tb = TRAIN_BATCH
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
     batch = {
-        "video": video,
-        "faces": faces,
-        "mel": jax.random.normal(ks[0], (b, 80, cfg.data.max_mel_frames)) - 5.0,
-        "gate": jnp.zeros((b, cfg.data.max_mel_frames)).at[:, -1].set(1.0),
-        "mel_mask": jnp.ones((b, cfg.data.max_mel_frames), bool),
+        "video": video[:tb],
+        "faces": faces[:tb],
+        "mel": jax.random.normal(ks[0], (tb, 80, cfg.data.max_mel_frames)) - 5.0,
+        "gate": jnp.zeros((tb, cfg.data.max_mel_frames)).at[:, -1].set(1.0),
+        "mel_mask": jnp.ones((tb, cfg.data.max_mel_frames), bool),
     }
     tx = make_optimizer(cfg, variables["params"])
     state = create_train_state(cfg, variables)
@@ -162,7 +182,7 @@ def main():
         float(metrics["total"])
         ts.append(time.time() - t0)
     dt_train = float(np.median(ts))
-    train_clips_per_sec = b / dt_train
+    train_clips_per_sec = tb / dt_train
     mfu_train = train_flops / dt_train / peak
 
     print(
@@ -170,8 +190,9 @@ def main():
             {
                 "metric": "lrw_full_inference_clips_per_sec",
                 "value": round(clips_per_sec, 2),
-                "unit": "clips/s/chip (video->waveform, 300-step AR + 32-iter GL on the 80-frame speech prefix, bf16)",
+                "unit": f"clips/s/chip (video->waveform, 300-step AR + {GL_ITERS}-iter GL on the {MEL_FRAMES}-frame speech prefix, bf16, B={BATCH}, steady-state pipelined; per-batch-synced value also emitted)",
                 "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 2),
+                "clips_per_sec_synced": round(clips_per_sec_synced, 2),
                 "train_clips_per_sec": round(train_clips_per_sec, 2),
                 "mfu_inference": round(mfu_inference, 4),
                 "mfu_train": round(mfu_train, 4),

@@ -1,0 +1,135 @@
+"""Micro-bench of the 3D conv front-end (video.py frontend3D) variants on TPU.
+
+The reference front-end (``/root/reference/model/modules/video.py:68-72``) is a
+Conv3d 3->24, k=(5,7,7), s=(1,2,2) on (B,T,96,96,3).  With only 3 input
+channels the MXU's 128-wide contraction is mostly padding.  Candidates:
+
+  direct — lax 3D conv as production currently runs it
+  s2d    — space-to-depth: fold the 2x2 spatial stride into channels
+           (3 -> 12); conv becomes k=(5,4,4) s=(1,1,1) on a 48x48 grid
+  s2d_t  — additionally fold the 5-tap time kernel into channels
+           (12 -> 60); conv becomes k=(1,4,4), pure 2D, Cin=60
+
+All variants are built from the same weights; numerics are asserted close
+before timing.  Run on the real chip (single-process-exclusive tunnel).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, H, W, C = 64, 29, 96, 96, 3
+OUT = 24
+KT, KH, KW = 5, 7, 7
+DTYPE = jnp.bfloat16
+
+
+def direct(video, w):
+    return jax.lax.conv_general_dilated(
+        video.astype(DTYPE),
+        w.astype(DTYPE),
+        window_strides=(1, 2, 2),
+        padding=[(2, 2), (3, 3), (3, 3)],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+    )
+
+
+def pack_space(video):
+    """(B,T,H,W,C) -> (B,T,H/2,W/2,4C); channel = ((ph*2+pw)*C + c)."""
+    b, t, h, w, c = video.shape
+    x = video.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, t, h // 2, w // 2, 4 * c)
+
+
+def pack_kernel_space(w):
+    """(KT,7,7,C,OUT) -> (KT,4,4,4C,OUT) on the packed layout.
+
+    Output site i of the stride-2 7-tap conv reads input 2i+d, d in [-3,3].
+    On the packed grid, phase p tap offset o covers d = 2o+p, o in [-2,1].
+    """
+    kt = w.shape[0]
+    c = w.shape[3]
+    wp = np.zeros((kt, 4, 4, 4 * c, OUT), np.float32)
+    for oh in range(-2, 2):
+        for ow in range(-2, 2):
+            for ph in range(2):
+                for pw in range(2):
+                    dh, dw = 2 * oh + ph, 2 * ow + pw
+                    if -3 <= dh <= 3 and -3 <= dw <= 3:
+                        ci = (ph * 2 + pw) * c
+                        wp[:, oh + 2, ow + 2, ci : ci + c, :] = w[:, dh + 3, dw + 3]
+    return jnp.asarray(wp)
+
+
+def s2d(video, wp):
+    x = pack_space(video).astype(DTYPE)
+    return jax.lax.conv_general_dilated(
+        x,
+        wp.astype(DTYPE),
+        window_strides=(1, 1, 1),
+        padding=[(2, 2), (2, 1), (2, 1)],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+    )
+
+
+def s2d_t(video, wp):
+    # additionally fold time taps: x_t[..., kt*Cp] = x[t + kt - 2]
+    x = pack_space(video).astype(DTYPE)
+    xpad = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)))
+    taps = [xpad[:, dt : dt + T] for dt in range(KT)]
+    xt = jnp.concatenate(taps, axis=-1)  # (B,T,48,48,60)
+    b, t, hh, ww, cc = xt.shape
+    xt = xt.reshape(b * t, hh, ww, cc)
+    # kernel: (KT,4,4,12,OUT) -> (4,4,60,OUT) with channel = kt*12 + cp
+    wt = jnp.transpose(wp, (1, 2, 0, 3, 4)).reshape(4, 4, KT * wp.shape[3], OUT)
+    out = jax.lax.conv_general_dilated(
+        xt,
+        wt.astype(DTYPE),
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(b, t, hh, ww, OUT)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    video = jax.random.normal(k1, (B, T, H, W, C), jnp.float32)
+    w = np.asarray(jax.random.normal(k2, (KT, KH, KW, C, OUT), jnp.float32)) * 0.05
+    wp = pack_kernel_space(w)
+
+    fns = {
+        "direct": (direct, jnp.asarray(w)),
+        "s2d": (s2d, wp),
+        "s2d_t": (s2d_t, wp),
+    }
+    outs = {}
+    flops = 2 * B * T * (H // 2) * (W // 2) * OUT * KT * KH * KW * C
+    for name, (fn, wt) in fns.items():
+        f = jax.jit(fn)
+        o = f(video, wt)
+        o.block_until_ready()
+        outs[name] = np.asarray(o, np.float32)
+        ts = []
+        for _ in range(20):
+            t0 = time.time()
+            f(video, wt).block_until_ready()
+            ts.append(time.time() - t0)
+        dt = float(np.median(ts))
+        print(
+            f"{name:8s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.2f} TFLOP/s (true-flop)"
+        )
+    for name in ("s2d", "s2d_t"):
+        err = np.abs(outs["direct"] - outs[name]).max()
+        scale = np.abs(outs["direct"]).max()
+        print(f"max |direct - {name}| = {err:.4g} (scale {scale:.3g})")
+
+
+if __name__ == "__main__":
+    main()
