@@ -5,7 +5,9 @@ face crop -> 300-step AR mel decode -> NNLS mel inversion + 64-iter
 matmul-DFT Griffin-Lim waveform — the reference demo/eval hot path end to
 end on device, bf16 model compute. Also reported (VERDICT r1 item 5):
 
-* ``train_clips_per_sec`` — full jitted train step (fwd+bwd+AdamW), batch 64
+* ``train_clips_per_sec`` — full jitted train step (fwd+bwd+AdamW) at the
+  bench batch; ``train_recipe_clips_per_sec`` at the reference recipe
+  batch (64, hparams.py:79)
 * ``mfu_inference`` / ``mfu_train`` — model FLOP utilization: compiled HLO
   flops (XLA cost analysis) / measured time / chip peak bf16 FLOPs.
 
@@ -151,39 +153,42 @@ def main():
     mfu_inference = inf_flops / dt_pipe / peak
 
     # ---------------- train step (fwd + bwd + AdamW) ----------------
-    tb = TRAIN_BATCH
-    ks = jax.random.split(jax.random.PRNGKey(3), 3)
-    batch = {
-        "video": video[:tb],
-        "faces": faces[:tb],
-        "mel": jax.random.normal(ks[0], (tb, 80, cfg.data.max_mel_frames)) - 5.0,
-        "gate": jnp.zeros((tb, cfg.data.max_mel_frames)).at[:, -1].set(1.0),
-        "mel_mask": jnp.ones((tb, cfg.data.max_mel_frames), bool),
-    }
-    tx = make_optimizer(cfg, variables["params"])
-    state = create_train_state(cfg, variables)
     # lower the raw step (not make_train_step's jit) for cost analysis
     import functools
 
     from lip2speech_tpu.train.train_step import train_step
 
+    tx = make_optimizer(cfg, variables["params"])
     step_raw = functools.partial(train_step, cfg=cfg, model=model, tx=tx)
     tf = jnp.float32(0.5)
     rng = jax.random.PRNGKey(7)
-    train_compiled = jax.jit(step_raw).lower(state, batch, tf, rng).compile()
-    train_flops = _flops(train_compiled)
-    state, metrics = train_compiled(state, batch, tf, rng)
-    float(metrics["total"])  # warm + sync
 
-    ts = []
-    for _ in range(TRAIN_ITERS):
+    def measure_train(tb):
+        """Steady-state train throughput at batch ``tb``: steps chain on
+        device state, so back-to-back dispatch + one final sync is exactly
+        the production loop (logging reads are async there too)."""
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        batch = {
+            "video": video[:tb],
+            "faces": faces[:tb],
+            "mel": jax.random.normal(ks[0], (tb, 80, cfg.data.max_mel_frames)) - 5.0,
+            "gate": jnp.zeros((tb, cfg.data.max_mel_frames)).at[:, -1].set(1.0),
+            "mel_mask": jnp.ones((tb, cfg.data.max_mel_frames), bool),
+        }
+        state = create_train_state(cfg, variables)
+        compiled = jax.jit(step_raw).lower(state, batch, tf, rng).compile()
+        flops = _flops(compiled)
+        state, metrics = compiled(state, batch, tf, rng)
+        float(metrics["total"])  # warm + sync
         t0 = time.time()
-        state, metrics = train_compiled(state, batch, tf, rng)
+        for _ in range(TRAIN_ITERS):
+            state, metrics = compiled(state, batch, tf, rng)
         float(metrics["total"])
-        ts.append(time.time() - t0)
-    dt_train = float(np.median(ts))
-    train_clips_per_sec = tb / dt_train
-    mfu_train = train_flops / dt_train / peak
+        dt = (time.time() - t0) / TRAIN_ITERS
+        return tb / dt, flops / dt / peak, flops
+
+    train_clips_per_sec, mfu_train, train_flops = measure_train(BATCH)
+    train_recipe_clips_per_sec, _, _ = measure_train(TRAIN_BATCH)
 
     print(
         json.dumps(
@@ -194,6 +199,7 @@ def main():
                 "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 2),
                 "clips_per_sec_synced": round(clips_per_sec_synced, 2),
                 "train_clips_per_sec": round(train_clips_per_sec, 2),
+                "train_recipe_clips_per_sec": round(train_recipe_clips_per_sec, 2),
                 "mfu_inference": round(mfu_inference, 4),
                 "mfu_train": round(mfu_train, 4),
                 "inference_tflops": round(inf_flops / 1e12, 3),

@@ -56,8 +56,15 @@ def frame_signal(
         )
     n_samples = x.shape[-1]
     t = (n_samples - n_fft) // hop_length + 1
-    # Gather via static index matrix. XLA turns this into an efficient
-    # strided gather; for n_fft % hop == 0 it fuses with downstream matmuls.
+    span = (t - 1) * hop_length + n_fft  # samples actually framed
+    if n_fft % hop_length == 0:
+        # hop | n_fft (our 1024/256 case): framing is a reshape into hop-
+        # sized rows plus k shifted slices — no generalized gather in the
+        # Griffin-Lim inner loop, just views the VPU streams through.
+        k = n_fft // hop_length
+        c = x[..., :span].reshape(*x.shape[:-1], t + k - 1, hop_length)
+        return jnp.concatenate([c[..., i : i + t, :] for i in range(k)], axis=-1)
+    # Generic path: static index matrix (XLA lowers to a strided gather).
     idx = np.arange(t)[:, None] * hop_length + np.arange(n_fft)[None, :]
     return x[..., idx]
 
@@ -90,6 +97,20 @@ def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _flat_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``x (..., K) @ w (K, N)`` with the leading dims flattened into M.
+
+    A batched matmul with M = n_frames (~81) per batch element under-fills
+    the 128-row MXU tile; collapsing (batch, frames) into one M dimension
+    turns the whole DFT into a single large GEMM.
+    """
+    lead = x.shape[:-1]
+    out = jnp.matmul(
+        x.reshape(-1, x.shape[-1]), w, preferred_element_type=jnp.float32
+    )
+    return out.reshape(*lead, w.shape[-1])
+
+
 def stft_matmul(
     x: jnp.ndarray,
     n_fft: int = 1024,
@@ -112,12 +133,14 @@ def stft_matmul(
     window = _pad_window(window, n_fft)
     frames = frame_signal(x, n_fft, hop_length, center) * window
     cos, sin = _dft_matrices(n_fft)
-    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    # one GEMM producing [re | im] (N = 2*n_freqs) instead of two
+    cs = jnp.asarray(np.concatenate([cos, sin], axis=1))
     if compute_dtype is not None:
         frames = frames.astype(compute_dtype)
-        cos, sin = cos.astype(compute_dtype), sin.astype(compute_dtype)
-    re = jnp.matmul(frames, cos, preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, sin, preferred_element_type=jnp.float32)
+        cs = cs.astype(compute_dtype)
+    n_freqs = n_fft // 2 + 1
+    both = _flat_matmul(frames, cs)
+    re, im = both[..., :n_freqs], both[..., n_freqs:]
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
 
 
@@ -202,16 +225,15 @@ def istft_matmul(
     window = _pad_window(window, n_fft)
 
     c, s = _idft_matrices(n_fft)
-    c, s = jnp.asarray(c), jnp.asarray(s)
+    # one GEMM: [re | im] (K = 2*n_freqs) @ [[C],[S]] instead of two
+    cs = jnp.asarray(np.concatenate([c, s], axis=0))
     re_t = jnp.swapaxes(re, -1, -2)  # (..., T, n_freqs)
     im_t = jnp.swapaxes(im, -1, -2)
+    both = jnp.concatenate([re_t, im_t], axis=-1)
     if compute_dtype is not None:
-        re_t, im_t = re_t.astype(compute_dtype), im_t.astype(compute_dtype)
-        c, s = c.astype(compute_dtype), s.astype(compute_dtype)
-    frames = (
-        jnp.matmul(re_t, c, preferred_element_type=jnp.float32)
-        + jnp.matmul(im_t, s, preferred_element_type=jnp.float32)
-    )
+        both = both.astype(compute_dtype)
+        cs = cs.astype(compute_dtype)
+    frames = _flat_matmul(both, cs)
     frames = frames * window
     y = _overlap_add(frames, hop_length, n_fft)
 

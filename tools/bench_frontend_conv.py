@@ -12,6 +12,16 @@ channels the MXU's 128-wide contraction is mostly padding.  Candidates:
 
 All variants are built from the same weights; numerics are asserted close
 before timing.  Run on the real chip (single-process-exclusive tunnel).
+
+Measured (v5e, B=64, bf16, device-true in-jit timing — see ``timed``):
+direct 4.4 ms (34 true-TFLOP/s), s2d 4.7 ms, s2d_t 7.8 ms.
+Round 2's 32-35 ms figures were tunnel-dispatch artifacts (15-30 ms RPC
+per call, block_until_ready does not sync).  A Pallas im2col kernel
+(space-to-depth + haloed time windows in VMEM, K=240 MXU dots) was built
+and measured at 23-61 ms depending on structure — XLA's native conv
+emitter wins on this small-channel conv outright, so the kernel was
+dropped (negative result recorded here; the AR decoder Pallas kernel in
+ops/pallas_decoder.py is the one that pays).
 """
 
 from __future__ import annotations
@@ -26,6 +36,26 @@ B, T, H, W, C = 64, 29, 96, 96, 3
 OUT = 24
 KT, KH, KW = 5, 7, 7
 DTYPE = jnp.bfloat16
+
+
+def timed(fn, *a, n=10):
+    """Device-true: n chained iterations inside one jit, one host read."""
+
+    @jax.jit
+    def loop(*args):
+        def body(i, c):
+            out = fn(args[0] + c.astype(args[0].dtype), *args[1:])
+            return out.reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(loop(*a))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(loop(*a))
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) / n
 
 
 def direct(video, w):
@@ -112,16 +142,9 @@ def main():
     outs = {}
     flops = 2 * B * T * (H // 2) * (W // 2) * OUT * KT * KH * KW * C
     for name, (fn, wt) in fns.items():
-        f = jax.jit(fn)
-        o = f(video, wt)
-        o.block_until_ready()
+        o = jax.jit(fn)(video, wt)
         outs[name] = np.asarray(o, np.float32)
-        ts = []
-        for _ in range(20):
-            t0 = time.time()
-            f(video, wt).block_until_ready()
-            ts.append(time.time() - t0)
-        dt = float(np.median(ts))
+        dt = timed(fn, video, wt)
         print(
             f"{name:8s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.2f} TFLOP/s (true-flop)"
         )
