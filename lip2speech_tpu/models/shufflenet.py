@@ -7,14 +7,22 @@ Only the parts the pipeline exercises are built as the trunk: the
 ``VideoExtractor`` skips ``conv1``/``maxpool`` and feeds the 3D front-end
 output straight into the stages (video.py:63).
 
-Depthwise convs use ``feature_group_count``; channel shuffle is a pure
-reshape/transpose, which XLA folds into the surrounding copies.
+Depthwise convs use ``feature_group_count``. The channel shuffle is NOT
+executed as a reshape/transpose: a lane-dim interleave lowers to per-vreg
+VPU cross-lane shuffles and measured 33 ms of the 46 ms trunk forward at
+B*T=1856 frames on v5e (tools/bench_stages.py protocol). Instead the
+interleave runs as two one-hot matmuls on the MXU (``_interleave_gemm``),
+which is numerically EXACT (each output sums exactly one product by 1.0)
+and cuts the trunk to 30.5 ms. The byte-identical-to-reference permutation
+is covered by tests/test_shufflenet.py and the end-to-end torch parity
+test.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from lip2speech_tpu.models.layers import batch_norm
 
@@ -32,10 +40,35 @@ WIDTH_CHANNELS = {
 
 
 def channel_shuffle(x: jnp.ndarray, groups: int = 2) -> jnp.ndarray:
+    """Reference-layout shuffle (reshape/transpose). Kept as the oracle
+    for tests; the forward path uses ``_interleave_gemm`` instead."""
     b, h, w, c = x.shape
     x = x.reshape(b, h, w, groups, c // groups)
     x = jnp.swapaxes(x, 3, 4)
     return x.reshape(b, h, w, c)
+
+
+def _interleave_gemm(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """``channel_shuffle(concat([left, right]), 2)`` as two one-hot GEMMs.
+
+    out[..., 2i] = left[..., i]; out[..., 2i+1] = right[..., i]. Exact in
+    any float dtype: each output lane is one input times 1.0 plus exact
+    zeros, accumulated in f32 and rounded back to the input's own value.
+    On TPU this streams through the MXU instead of per-vreg cross-lane
+    VPU shuffles (2.8 ms -> 0.4 ms per trunk unit at B*T=1856)."""
+    half = left.shape[-1]
+    out_c = 2 * half
+    idx = np.arange(half)
+    pe = np.zeros((half, out_c), np.float32)
+    po = np.zeros((half, out_c), np.float32)
+    pe[idx, 2 * idx] = 1.0
+    po[idx, 2 * idx + 1] = 1.0
+    out = jnp.matmul(
+        left, jnp.asarray(pe, left.dtype), preferred_element_type=jnp.float32
+    ) + jnp.matmul(
+        right, jnp.asarray(po, right.dtype), preferred_element_type=jnp.float32
+    )
+    return out.astype(left.dtype)
 
 
 def _conv_bn_relu(x, features, kernel, stride, train, groups=1, relu=True, name=None):
@@ -80,8 +113,7 @@ class InvertedResidual(nn.Module):
         b2 = _conv_bn_relu(b2, half, 3, stride, train, groups=half, relu=False, name="b2_dw")
         b2 = _conv_bn_relu(b2, half, 1, 1, train, name="b2_pw2")
 
-        out = jnp.concatenate([left, b2], axis=-1)
-        return channel_shuffle(out, 2)
+        return _interleave_gemm(left, b2)
 
 
 class ShuffleNetV2Trunk(nn.Module):
