@@ -8,6 +8,12 @@ chip. The Pallas kernel keeps every weight matrix VMEM-resident across all
 
 Run: python tools/bench_serving_latency.py
 Prints one JSON line per (batch, backend) plus a summary.
+
+NOTE: these are per-request latencies synced with a host read, so each
+includes one ~30-36 ms tunnel round trip — the number a remote caller
+actually experiences. The device-true AR decode time is ~9.3 ms at B=64
+(tools/bench_stages.py, chained in-jit protocol); the scan-vs-Pallas
+DELTA is still meaningful here because the RTT term is common to both.
 """
 
 from __future__ import annotations

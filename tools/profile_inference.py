@@ -2,8 +2,9 @@
 coarse stage breakdown (encoder+AR decode vs mel inversion+Griffin-Lim).
 
 The trace (viewable in TensorBoard / Perfetto) lands in --trace_dir; the
-printed JSON gives stage wall-times measured with data-dependent syncs so
-the tunnel cannot hide queueing.
+printed JSON gives stage wall-times two ways: device-true (chained in-jit
+loop, one host read) and per-call-synced (includes one ~30-36 ms tunnel
+round trip per call — the number a single remote request would see).
 
 Run: python tools/profile_inference.py [--batch 64] [--trace_dir /tmp/l2s_trace]
 """
@@ -73,7 +74,8 @@ def main():
     float(jnp.sum(mel))
     float(invert(mel, key))
 
-    def timed(fn, *a):
+    def timed_rtt(fn, *a):
+        """Per-call synced: includes one ~30-36 ms tunnel round trip."""
         ts = []
         for i in range(5):
             t0 = time.time()
@@ -82,8 +84,32 @@ def main():
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
-    t_fwd = timed(model_fwd, variables, video, faces)
-    t_inv = timed(invert, mel, key)
+    def timed_device(fn, *a, n=10):
+        """Device-true: n chained iterations in one jit, one host read
+        (see tools/bench_stages.py for why this is the only protocol
+        that survives the tunnel)."""
+
+        @jax.jit
+        def loop(*args):
+            def body(i, c):
+                r = fn(args[0] + c.astype(args[0].dtype), *args[1:])
+                r = r if hasattr(r, "reshape") else jnp.asarray(r)
+                return r.reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(loop(*a))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(loop(*a))
+            ts.append(time.time() - t0)
+        return float(np.median(ts)) / n
+
+    t_fwd = timed_device(lambda v, f: model_fwd(variables, v, f), video, faces)
+    t_inv = timed_device(invert, mel, key)
+    t_fwd_rtt = timed_rtt(model_fwd, variables, video, faces)
+    t_inv_rtt = timed_rtt(invert, mel, key)
 
     with jax.profiler.trace(args.trace_dir):
         mel = model_fwd(variables, video, faces)
@@ -96,6 +122,8 @@ def main():
                 "batch": b,
                 "model_fwd_ms": round(t_fwd * 1e3, 1),
                 "invert_ms": round(t_inv * 1e3, 1),
+                "model_fwd_ms_with_rtt": round(t_fwd_rtt * 1e3, 1),
+                "invert_ms_with_rtt": round(t_inv_rtt * 1e3, 1),
                 "model_clips_per_sec": round(b / t_fwd, 1),
                 "pipeline_clips_per_sec": round(b / (t_fwd + t_inv), 1),
                 "trace_dir": args.trace_dir,
