@@ -9,6 +9,7 @@ happen in ``collate.prepare_batch`` on the TPU.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -58,7 +59,15 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.ds)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last:
+            return n // self.batch_size
+        nb = -(-n // self.batch_size)
+        # a ragged tail smaller than shard_count is skipped in lockstep by
+        # every process (see __iter__) — don't count it
+        tail = n % self.batch_size
+        if self.shard_count > 1 and 0 < tail < self.shard_count:
+            nb -= 1
+        return nb
 
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.ds))
@@ -96,6 +105,11 @@ class Loader:
                                 # some process would get nothing: every
                                 # process sees the same edges (same seed),
                                 # so ALL skip this tail batch in lockstep
+                                # (__len__ accounts for this)
+                                logging.getLogger(__name__).warning(
+                                    "skipping %d-clip tail batch (< %d "
+                                    "processes)", len(chunk), self.shard_count,
+                                )
                                 continue
                             chunk = chunk[
                                 edges[self.shard_index] : edges[self.shard_index + 1]

@@ -54,20 +54,30 @@ def evaluate_net(
         estoi_ops.estoi_batch_jax if metric == "estoi" else estoi_ops.stoi_batch_jax
     )
     n_proc = jax.process_count()
-    local_batch = batch_size // n_proc if batch_size % n_proc == 0 else batch_size
-    loader = Loader(
-        dataset, batch_size, cfg.data, shuffle=False, drop_last=False,
-        num_workers=8,
-        shard_index=jax.process_index() if batch_size % n_proc == 0 else 0,
-        shard_count=n_proc if batch_size % n_proc == 0 else 1,
-    )
+    # The loader-sharding and mesh-sharding decisions MUST agree: per-
+    # process loader slices are only valid when the global array is
+    # data-sharded; under a replicated sharding every process has to
+    # supply identical full batches (make_array_from_process_local_data
+    # would otherwise stitch different rows into one "replicated" array).
+    can_shard_loader = batch_size % n_proc == 0
     if mesh is not None:
         from lip2speech_tpu.parallel import batch_sharding, replicated
 
         n_data = mesh.shape.get("data", 1)
-        mesh_sharding = (
-            batch_sharding(mesh) if batch_size % n_data == 0 else replicated(mesh)
+        data_sharded = batch_size % n_data == 0 and (
+            n_proc == 1 or can_shard_loader
         )
+        mesh_sharding = batch_sharding(mesh) if data_sharded else replicated(mesh)
+        shard_loader = can_shard_loader and (n_proc == 1 or data_sharded)
+    else:
+        shard_loader = can_shard_loader
+    local_batch = batch_size // n_proc if shard_loader else batch_size
+    loader = Loader(
+        dataset, batch_size, cfg.data, shuffle=False, drop_last=False,
+        num_workers=8,
+        shard_index=jax.process_index() if shard_loader else 0,
+        shard_count=n_proc if shard_loader else 1,
+    )
     rngs = {
         "gumbel": jax.random.PRNGKey(seed),
         "teacher": jax.random.PRNGKey(seed + 1),

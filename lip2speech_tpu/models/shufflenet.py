@@ -63,12 +63,13 @@ def _interleave_gemm(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     po = np.zeros((half, out_c), np.float32)
     pe[idx, 2 * idx] = 1.0
     po[idx, 2 * idx + 1] = 1.0
-    out = jnp.matmul(
-        left, jnp.asarray(pe, left.dtype), preferred_element_type=jnp.float32
-    ) + jnp.matmul(
-        right, jnp.asarray(po, right.dtype), preferred_element_type=jnp.float32
+    # No f32 accumulator requested: each output lane is one product by 1.0
+    # (MXU still sums in f32 internally), so emitting the input dtype
+    # directly is exact AND avoids a full f32 intermediate + astype pass
+    # over the (B*T*H*W, C) tensor.
+    return jnp.matmul(left, jnp.asarray(pe, left.dtype)) + jnp.matmul(
+        right, jnp.asarray(po, right.dtype)
     )
-    return out.astype(left.dtype)
 
 
 def _conv_bn_relu(x, features, kernel, stride, train, groups=1, relu=True, name=None):

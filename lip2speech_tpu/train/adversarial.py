@@ -85,7 +85,24 @@ def critic_step(
     updates, new_opt = tx.update(grads, critic.opt_state, critic.params)
     new_params = optax.apply_updates(critic.params, updates)
     new_params = clamp_discriminator_params(new_params)  # ±0.01 clip
-    return CriticState(new_params, new_stats, new_opt), d_loss
+    # Non-finite protection, mirroring the generator's apply_if_finite: a
+    # single NaN/Inf generator forward (e.g. transient bf16 overflow)
+    # must not poison the critic permanently — clamp(NaN) stays NaN, so
+    # without this every later generator step would see NaN adversarial
+    # terms and the run would stall unrecoverably.
+    ok = jnp.isfinite(d_loss) & jnp.isfinite(optax.global_norm(grads))
+
+    def keep_if_ok(new, old):
+        return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+    return (
+        CriticState(
+            keep_if_ok(new_params, critic.params),
+            keep_if_ok(new_stats, critic.batch_stats),
+            keep_if_ok(new_opt, critic.opt_state),
+        ),
+        d_loss,
+    )
 
 
 def generator_terms(

@@ -333,12 +333,21 @@ def load_reference_pth(path: str, cfg: ModelConfig) -> tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 
 
+def _host_or_sharded(x):
+    """np.asarray for host/addressable values; sharded jax.Arrays (multi-
+    host TP/DP state) pass through — orbax handles them natively, and
+    np.asarray on a non-fully-addressable array raises."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x
+    return np.asarray(x)
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None):
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
     with ocp.StandardCheckpointer() as ckptr:
-        payload = {"state": jax.tree.map(np.asarray, state._asdict())}
+        payload = {"state": jax.tree.map(_host_or_sharded, state._asdict())}
         if extra:
             payload["extra"] = extra
         ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), payload, force=True)
@@ -391,8 +400,10 @@ def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
             def target_for(opt_state):
                 d = template._asdict()
                 d["opt_state"] = opt_state
+                # keep sharded template leaves as jax.Arrays so orbax
+                # restores INTO their shardings (multi-host TP/DP)
                 return {
-                    "state": jax.tree.map(np.asarray, d),
+                    "state": jax.tree.map(_host_or_sharded, d),
                     "extra": {"best_score": np.asarray(0.0)},
                 }
 
@@ -401,14 +412,20 @@ def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
             )
             try:
                 payload = ckptr.restore(path, target_for(template.opt_state))
-            except BaseException:
-                # schema mismatch: flip the wrapper and retry
+            except Exception as first_err:
+                # possibly the opt-state schema mismatch from toggling
+                # train.skip_nonfinite_updates: flip the wrapper and
+                # retry; if that fails too, the problem was never the
+                # schema — surface the ORIGINAL error
                 alt = (
                     template.opt_state.inner_state
                     if tmpl_wrapped
                     else _fresh_if_finite_wrapper(template.opt_state)
                 )
-                payload = ckptr.restore(path, target_for(alt))
+                try:
+                    payload = ckptr.restore(path, target_for(alt))
+                except Exception:
+                    raise first_err
                 restored_opt = payload["state"]["opt_state"]
                 payload["state"]["opt_state"] = (
                     _fresh_if_finite_wrapper(restored_opt)

@@ -118,3 +118,31 @@ def test_adversarial_train_step_integration():
     for leaf in jax.tree.leaves(critic.params):
         assert float(jnp.abs(leaf).max()) <= 0.01 + 1e-6
     assert int(state.step) == 4
+
+
+@pytest.mark.slow
+def test_critic_step_skips_nonfinite_update():
+    """A NaN generator forward must not poison the critic: params,
+    batch stats, and opt state all keep their previous (finite) values."""
+    rng = jax.random.PRNGKey(0)
+    disc, tx, critic = init_critic(CFG, rng, batch_size=4)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 80, 80)) - 5.0
+    spk = jax.random.normal(jax.random.PRNGKey(3), (4, 256)) * 0.1
+    step = make_critic_step(disc, tx)
+
+    # one healthy step so the state is non-trivial
+    fake = jax.random.normal(jax.random.PRNGKey(2), (4, 80, 80))
+    critic, _ = step(critic, real, fake, spk, jax.random.fold_in(rng, 0))
+    before = jax.tree.map(np.asarray, critic.params)
+
+    nan_fake = jnp.full((4, 80, 80), jnp.nan)
+    critic2, d_loss = step(critic, real, nan_fake, spk, jax.random.fold_in(rng, 1))
+    assert not np.isfinite(float(d_loss))  # loss reports the event
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(critic2.params)):
+        np.testing.assert_array_equal(np.asarray(b), a)
+    for leaf in jax.tree.leaves(critic2.batch_stats):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # and the critic still works on the next finite batch
+    critic3, d3 = step(critic2, real, fake, spk, jax.random.fold_in(rng, 2))
+    assert np.isfinite(float(d3))

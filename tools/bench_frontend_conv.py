@@ -26,11 +26,12 @@ ops/pallas_decoder.py is the one that pays).
 
 from __future__ import annotations
 
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from lip2speech_tpu.utils.devtime import device_time
 
 B, T, H, W, C = 64, 29, 96, 96, 3
 OUT = 24
@@ -39,23 +40,8 @@ DTYPE = jnp.bfloat16
 
 
 def timed(fn, *a, n=10):
-    """Device-true: n chained iterations inside one jit, one host read."""
-
-    @jax.jit
-    def loop(*args):
-        def body(i, c):
-            out = fn(args[0] + c.astype(args[0].dtype), *args[1:])
-            return out.reshape(-1)[0].astype(jnp.float32) * 1e-12
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    float(loop(*a))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        float(loop(*a))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) / n
+    """Device-true seconds/call (see lip2speech_tpu.utils.devtime)."""
+    return device_time(fn, *a, n=n)
 
 
 def direct(video, w):

@@ -24,35 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
+from lip2speech_tpu.utils.devtime import device_time
 
 
 def timed(fn, *a, n=10):
-    """Device-true timing: n iterations chained inside ONE jitted
-    fori_loop (each iteration's first input is perturbed by a scalar
-    computed from the previous output, forcing serial execution), timed
-    by a single host read of the final scalar. This is the only protocol
-    that survives the axon tunnel: per-dispatch RPCs cost 15-30 ms and
-    ``block_until_ready`` does not actually synchronize, so any
-    per-call-timed or dispatch-pipelined loop measures the tunnel, not
-    the chip. Adds one broadcast-add of the first arg per iteration
-    (~0.1-0.3 ms at B=64) — negligible at the ms scale ranked here."""
-
-    @jax.jit
-    def loop(*args):
-        def body(i, c):
-            out = fn(args[0] + c.astype(args[0].dtype), *args[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return leaf.reshape(-1)[0].astype(jnp.float32) * 1e-12
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    float(loop(*a))  # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        float(loop(*a))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) / n * 1e3
+    """Device-true ms/call; see lip2speech_tpu.utils.devtime for why
+    nothing else survives the axon tunnel."""
+    return device_time(fn, *a, n=n) * 1e3
 
 
 def main():

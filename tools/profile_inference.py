@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
+from lip2speech_tpu.utils.devtime import device_time
 
 
 def main():
@@ -85,26 +86,8 @@ def main():
         return float(np.median(ts))
 
     def timed_device(fn, *a, n=10):
-        """Device-true: n chained iterations in one jit, one host read
-        (see tools/bench_stages.py for why this is the only protocol
-        that survives the tunnel)."""
-
-        @jax.jit
-        def loop(*args):
-            def body(i, c):
-                r = fn(args[0] + c.astype(args[0].dtype), *args[1:])
-                r = r if hasattr(r, "reshape") else jnp.asarray(r)
-                return r.reshape(-1)[0].astype(jnp.float32) * 1e-12
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        float(loop(*a))
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            float(loop(*a))
-            ts.append(time.time() - t0)
-        return float(np.median(ts)) / n
+        """Device-true seconds/call (lip2speech_tpu.utils.devtime)."""
+        return device_time(fn, *a, n=n)
 
     t_fwd = timed_device(lambda v, f: model_fwd(variables, v, f), video, faces)
     t_inv = timed_device(invert, mel, key)
