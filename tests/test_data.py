@@ -222,3 +222,25 @@ def test_loader_unsplittable_tail_skipped_in_lockstep(tmp_path):
         for i in range(4)
     ]
     assert all(len(s) == 1 for s in shards)  # tail of 1 skipped by all
+
+
+def test_loader_len_accounts_for_skipped_tail(tmp_path):
+    """__len__ must match the number of batches actually yielded when a
+    sub-shard_count tail is skipped (review finding, round 3)."""
+    root = str(tmp_path / "lrw5b")
+    make_sample_lrw(root, n_clips=5)
+    ds = LRW(root, mode="test", cfg=DCFG)
+    kw = dict(cfg=DCFG, shuffle=False, num_workers=2, drop_last=False)
+    # tail of 1 < shard_count: skipped (whether 2 or 4 processes)
+    for sc in (2, 4):
+        skipping = Loader(ds, batch_size=4, shard_index=0, shard_count=sc, **kw)
+        assert len(skipping) == len(list(skipping)) == 1
+    # unsharded: tail of 1 is yielded
+    plain = Loader(ds, batch_size=4, **kw)
+    assert len(plain) == len(list(plain)) == 2
+    # tail of 2 >= shard_count 2: split, not skipped
+    root6 = str(tmp_path / "lrw6b")
+    make_sample_lrw(root6, n_clips=6)
+    ds6 = LRW(root6, mode="test", cfg=DCFG)
+    splitting = Loader(ds6, batch_size=4, shard_index=0, shard_count=2, **kw)
+    assert len(splitting) == len(list(splitting)) == 2
