@@ -33,7 +33,7 @@ import subprocess
 import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from lip2speech_tpu.prep.common import require_network, require_ytdl, run_ffmpeg
 

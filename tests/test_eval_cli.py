@@ -121,8 +121,6 @@ def test_demo_cli_writes_artifacts(synth_root, tmp_path, monkeypatch):
 def test_evaluate_net_mesh_matches_single_device(tmp_path_factory):
     """DP-meshed evaluation must reproduce the single-device score: the
     mesh only changes placement, not math (VERDICT r2 item 3 extension)."""
-    import jax
-
     from lip2speech_tpu.cli.common import init_variables
     from lip2speech_tpu.data import get_dataset
     from lip2speech_tpu.eval.evaluate import evaluate_net

@@ -2,7 +2,6 @@
 math, pro-rata mel assembly, single-pass inversion, and the CLI."""
 
 import numpy as np
-import pytest
 
 from lip2speech_tpu.config import Config, ModelConfig
 from lip2speech_tpu.eval.long_video import chunk_video, synthesize_long_video
