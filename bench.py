@@ -1,7 +1,7 @@
 """End-of-round benchmark. Prints ONE JSON line.
 
 Primary metric: full LRW inference throughput on one chip — silent video +
-face crop -> 300-step AR mel decode -> NNLS mel inversion + 64-iter
+face crop -> 300-step AR mel decode -> NNLS mel inversion + 32-iter
 matmul-DFT Griffin-Lim waveform — the reference demo/eval hot path end to
 end on device, bf16 model compute. Also reported (VERDICT r1 item 5):
 

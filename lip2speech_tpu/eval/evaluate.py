@@ -69,8 +69,14 @@ def evaluate_net(
         )
         mesh_sharding = batch_sharding(mesh) if data_sharded else replicated(mesh)
         shard_loader = can_shard_loader and (n_proc == 1 or data_sharded)
+        # jit output shardings are otherwise unconstrained: GSPMD may
+        # legally replicate small outputs, which would break the
+        # shard-index-based row recovery in _local_rows on multi-host
+        # runs. Pin every per-row output to the batch's own row sharding.
+        row_sharding = mesh_sharding
     else:
         shard_loader = can_shard_loader
+        row_sharding = None
     local_batch = batch_size // n_proc if shard_loader else batch_size
     loader = Loader(
         dataset, batch_size, cfg.data, shuffle=False, drop_last=False,
@@ -105,7 +111,16 @@ def evaluate_net(
         )
         mel_pred = out["mel_postnet"].astype(jnp.float32)  # (B, 80, M)
         wav = gl_ops.mel_to_audio(mel_pred, key, cfg.audio, n_iter=n_gl_iters)
+        if row_sharding is not None:
+            wav = jax.lax.with_sharding_constraint(wav, row_sharding)
         return wav
+
+    @jax.jit
+    def score_batch(gt_dev, wav, lens):
+        s = batch_fn(gt_dev, wav, lengths=lens, fs=cfg.audio.sample_rate)
+        if row_sharding is not None:
+            s = jax.lax.with_sharding_constraint(s, row_sharding)
+        return s
 
     scores = []
     key = jax.random.PRNGKey(seed)
@@ -119,17 +134,19 @@ def evaluate_net(
             raw = {
                 k: np.concatenate([v, np.repeat(v[:1], reps, 0)]) for k, v in raw.items()
             }
-        device_raw = {k: jnp.asarray(v) for k, v in raw.items()}
-        if mesh is not None:
-            if n_proc > 1:
-                device_raw = jax.tree.map(
-                    lambda x: jax.make_array_from_process_local_data(
-                        mesh_sharding, np.asarray(x)
-                    ),
-                    raw,
-                )
-            else:
-                device_raw = jax.device_put(device_raw, mesh_sharding)
+        if mesh is not None and n_proc > 1:
+            device_raw = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    mesh_sharding, np.asarray(x)
+                ),
+                raw,
+            )
+        elif mesh is not None:
+            device_raw = jax.device_put(
+                {k: jnp.asarray(v) for k, v in raw.items()}, mesh_sharding
+            )
+        else:
+            device_raw = {k: jnp.asarray(v) for k, v in raw.items()}
         batch = prepare_batch(device_raw, cfg.audio, cfg.data)
         key, sub = jax.random.split(key)
         wav_pred = forward_invert(variables, batch, sub)
@@ -143,9 +160,7 @@ def evaluate_net(
                 batch["audio_lengths"] if mesh is not None
                 else jnp.asarray(raw["audio_lengths"])
             )
-            batch_scores = batch_fn(
-                gt_dev, wav_pred, lengths=lens, fs=cfg.audio.sample_rate
-            )
+            batch_scores = score_batch(gt_dev, wav_pred, lens)
             local_scores = _local_rows(batch_scores) if n_proc > 1 else np.asarray(
                 batch_scores
             )

@@ -37,12 +37,22 @@ def create_mesh(
     data_axis: str = "data",
     model_axis: str = "model",
 ) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     if n_data == -1:
         n_data = n // n_model
     want = n_data * n_model
     assert 0 < want <= n, (n_data, n_model, n)
+    if not explicit and want != n:
+        # A user-supplied (n_data, n_model) that underfills the machine is
+        # almost always a typo or a stale script — it would silently idle
+        # n-want chips. Callers that genuinely want a submesh must pass the
+        # device subset explicitly (as auto_mesh does).
+        raise ValueError(
+            f"mesh {n_data}x{n_model} uses {want} of {n} available devices; "
+            f"pass devices=jax.devices()[:{want}] explicitly to run a submesh"
+        )
     grid = np.asarray(devices[:want]).reshape(n_data, n_model)
     return Mesh(grid, (data_axis, model_axis))
 

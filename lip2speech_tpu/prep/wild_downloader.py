@@ -1,7 +1,7 @@
 """WILD corpus acquisition: download the corpus' long-form videos.
 
 Behavior parity with ``/root/reference/datasets/wild/youtube_downloader.py``
-(a hard-coded list of ~114 lecture video ids fed to youtube_dl with format
+(a hard-coded list of 113 lecture video ids fed to youtube_dl with format
 ``22/18`` and outtmpl ``%(title)s-%(id)s.%(ext)s``). The id list ships as a
 data file (``wild_video_ids.txt``, the corpus definition); ``--ids`` points
 at any other one-id-per-line file. The downloader shells out to

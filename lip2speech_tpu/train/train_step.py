@@ -94,14 +94,21 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     return tx
 
 
-def create_train_state(cfg: Config, variables: Any) -> TrainState:
+def create_train_state(
+    cfg: Config, variables: Any, init_opt: bool = True
+) -> TrainState:
+    """``init_opt=False`` skips the (3x-param-memory AMSGrad) ``tx.init``
+    when the caller will immediately re-initialize the optimizer state with
+    explicit shardings (``shard_train_state``) — materializing it twice
+    doubles startup time and transiently holds a second full optimizer
+    state on the default device."""
     params = variables["params"]
     tx = make_optimizer(cfg, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=tx.init(params),
+        opt_state=tx.init(params) if init_opt else None,
     )
 
 

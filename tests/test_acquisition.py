@@ -183,8 +183,12 @@ def test_download_list_failure_accounting(tmp_path):
 
 def test_wild_vendored_id_list():
     ids = wild.read_id_file(wild.DEFAULT_IDS)
-    assert len(ids) == 114  # the reference corpus definition
+    # the reference corpus definition: 113 ids (youtube_downloader.py:3-117,
+    # a 115-line triple-quoted block sliced [1:-1])
+    assert len(ids) == 113
     assert all(" " not in y for y in ids)
+    # every entry must look like a YouTube video id, not a stray code line
+    assert all(len(y) == 11 and '"' not in y and "." not in y for y in ids)
 
 
 def test_wild_ytdl_command():
