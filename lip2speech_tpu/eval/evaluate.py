@@ -153,7 +153,7 @@ def evaluate_net(
         gt = np.asarray(raw["audio"])  # this process' rows
         if device_estoi:
             # batched on-device metric — same algorithm with static-shape
-            # silent-frame excision; measured ≤ 2.7e-4 off the host metric
+            # silent-frame excision; measured < 1e-7 off the host metric
             # on fixture speech (tests/test_estoi_oracle.py)
             gt_dev = batch["audio"] if mesh is not None else jnp.asarray(gt)
             lens = (

@@ -194,11 +194,15 @@ class ContentEncoder(nn.Module):
         logits = nn.silu(nn.Dense(vocab, name="loc_2")(h))  # (B, S, vocab)
 
         flat = logits.reshape(-1, vocab)
-        if train:
-            g = jax.random.gumbel(gumbel_key, flat.shape, flat.dtype)
-            z = jax.nn.softmax((flat + g) / c.gumbel_tau, axis=-1)
-        else:
-            z = jax.nn.softmax(flat / c.gumbel_tau, axis=-1)
+        # the reference samples gumbel noise unconditionally — train AND
+        # eval (F.gumbel_softmax has no eval switch, decoder.py:257) — so
+        # eval parity requires sampling here too; determinism is preserved
+        # because the key is explicit
+        # draw in f32 regardless of compute dtype: -log(-log(u)) quantizes
+        # badly in bf16, and the same key must yield the same noise in
+        # mixed- and full-precision runs
+        g = jax.random.gumbel(gumbel_key, flat.shape, jnp.float32).astype(flat.dtype)
+        z = jax.nn.softmax((flat + g) / c.gumbel_tau, axis=-1)
         value = (z @ word_embeddings).reshape(w.shape[0], min_t, latent)
         dist = jax.nn.softmax(flat, axis=-1)
         return key_out, value, dist
@@ -416,7 +420,13 @@ class Decoder(nn.Module):
         if inference:
             train = False
         if rngs is None:
-            rngs = {"gumbel": jax.random.PRNGKey(0)}
+            # deterministic fallback for every stream the forward may draw
+            # from ('teacher' is read whenever mels are given — a gumbel-only
+            # dict would KeyError on the teacher-forced path)
+            rngs = {
+                "gumbel": jax.random.PRNGKey(0),
+                "teacher": jax.random.PRNGKey(1),
+            }
         M = c.max_decoder_steps if inference else mels.shape[-1]
 
         enc = self._encode(encoder_outputs, face_features, rngs["gumbel"], train)

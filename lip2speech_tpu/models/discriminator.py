@@ -43,14 +43,35 @@ class ResidualBlock(nn.Module):
 
 
 def sample_patch(key: jax.Array, t: int, max_patch: int):
-    """Sample (start, length) like the reference: length ~ U{7..31},
-    start ~ U[0, max(0, 1 + t - length)) (discriminator.py:92-97)."""
+    """Sample (start, length) exactly like the reference: length ~ U{7..31}
+    and start = max(0, 1 + u - length) with u ~ U{0..t-1}
+    (discriminator.py:93-94) — so start+length <= t always and the start
+    distribution piles at 0, not at t-length."""
     k1, k2 = jax.random.split(key)
     length = jax.random.randint(k1, (), 7, min(32, max_patch))
-    hi = jnp.maximum(1 + t - length, 1)
-    start = jax.random.randint(k2, (), 0, t)
-    start = jnp.minimum(start, hi - 1)
+    u = jax.random.randint(k2, (), 0, t)
+    start = jnp.maximum(1 + u - length, 0)
     return start, length
+
+
+def extract_patch(
+    mel: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray, P: int
+) -> jnp.ndarray:
+    """mel (B, n_mels, T) -> (B, P, n_mels): frames [start, start+length)
+    at positions [0, length), zeros after (the static-shape equivalent of
+    the reference's ``x[:, :, start:end]`` ragged slice).
+
+    ``dynamic_slice`` clamps its own start to T-P, which would silently
+    shift the window off the sampled start (and the mask with it) whenever
+    start > T-P — so slice from the clamped base and roll the intended
+    frames to position 0 so the mask always covers them."""
+    T = mel.shape[-1]
+    x = jnp.swapaxes(mel, 1, 2)  # (B, T, n_mels)
+    base = jnp.minimum(start, jnp.maximum(T - P, 0))
+    x = jax.lax.dynamic_slice_in_dim(x, base, P, axis=1)  # (B, P, n_mels)
+    x = jnp.roll(x, -(start - base), axis=1)
+    mask = (jnp.arange(P) < length)[None, :, None]
+    return jnp.where(mask, x, 0.0)
 
 
 class Discriminator(nn.Module):
@@ -77,10 +98,7 @@ class Discriminator(nn.Module):
         start, length = patch
         B, n_mels, T = mel.shape
 
-        x = jnp.swapaxes(mel, 1, 2)  # (B, T, n_mels)
-        x = jax.lax.dynamic_slice_in_dim(x, start, P, axis=1)  # (B, P, n_mels)
-        mask = (jnp.arange(P) < length)[None, :, None]
-        x = jnp.where(mask, x, 0.0)
+        x = extract_patch(mel, start, length, P)  # (B, P, n_mels)
 
         h_mel = nn.leaky_relu(nn.Dense(256, name="mel_encoder")(x), 0.2)
         spk = nn.soft_sign(nn.Dense(256, name="speaker_encoder")(speaker_embedding))

@@ -46,7 +46,10 @@ class Lip2Speech(nn.Module):
         ``speaker_embedding`` (e.g. from the voice SpeakerEncoder) replaces
         the face-derived one, mirroring ``inference``'s optional arg."""
         if rngs is None:
-            rngs = {"gumbel": jax.random.PRNGKey(0)}
+            rngs = {
+                "gumbel": jax.random.PRNGKey(0),
+                "teacher": jax.random.PRNGKey(1),
+            }
         inference = mels is None
 
         feats = VideoExtractor(

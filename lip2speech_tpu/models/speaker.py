@@ -9,7 +9,6 @@ checkpoint converter and the train step simply never updates them.
 
 from __future__ import annotations
 
-import dataclasses
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -33,9 +32,9 @@ class SpeakerEncoder(nn.Module):
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
         # torchaudio MelSpectrogram(400/160/40) with default fmax=sr/2
-        # (audio.py:124); power mel, NO log compression in the reference.
-        acfg = dataclasses.replace(SPEAKER_AUDIO_CFG, fmax=8000.0)
-        mels = mel_ops.melspectrogram(waveform, acfg, log=False)  # (B, 40, T)
+        # (audio.py:124, encoded in SPEAKER_AUDIO_CFG); power mel, NO log
+        # compression in the reference.
+        mels = mel_ops.melspectrogram(waveform, SPEAKER_AUDIO_CFG, log=False)
         mels = jnp.swapaxes(mels, 1, 2)  # (B, T, 40)
 
         out, (hidden, _) = LSTM(

@@ -6,6 +6,11 @@ Implemented from Taal et al. 2011 (STOI) / Jensen & Taal 2016 (ESTOI)
 following the pystoi reference structure: resample to 10 kHz, drop silent
 frames (40 dB range), 512-pt STFT (256 frame / 128 hop, Hann), 15
 one-third-octave bands from 150 Hz, 384 ms (N=30 frame) segments.
+Framing reproduces pystoi 0.3.3 (the version the reference pins,
+requirements.txt:6) exactly, INCLUDING its exclusive frame range
+``range(0, len - framelen, hop)`` that drops a final exactly-aligned
+frame — a known divergence from the MATLAB original that matters here
+because the post-excision OLA signal is always exactly aligned.
 ESTOI = mean over segments of the row+column-normalized correlation;
 STOI = mean over (band, segment) of the clipped (+15 dB SDR bound)
 per-band time correlation. The reference code only computes ESTOI, but
@@ -19,7 +24,7 @@ Four implementations:
     versions for on-device batched evaluation. They reproduce the host
     algorithm's silent-frame *excision* exactly with static shapes (stable
     compaction + overlap-add + re-frame); the only residual skew vs the
-    host versions is f32-vs-f64 arithmetic, measured < 2.7e-4 on real
+    host versions is f32-vs-f64 arithmetic, measured < 1e-7 on real
     fixture speech (tests/test_estoi_oracle.py).
 """
 
@@ -86,7 +91,14 @@ def _resample_10k(x: np.ndarray, fs: int) -> np.ndarray:
 
 
 def _frames(x: np.ndarray) -> np.ndarray:
-    n = (len(x) - N_FRAME) // HOP + 1
+    # pystoi frames with range(0, len(x) - framelen, hop), which EXCLUDES a
+    # final exactly-aligned frame (its stft and remove_silent_frames both; a
+    # known divergence from the MATLAB original's 1:K:length(x)-N+1). The
+    # post-excision OLA signal is always exactly aligned, so this drops one
+    # envelope frame per clip — reproduced deliberately: the reference's
+    # scores (evaluate.py:45) come from pystoi, not from the paper.
+    rem = len(x) - N_FRAME
+    n = (rem + HOP - 1) // HOP if rem > 0 else 0
     if n <= 0:
         return np.zeros((0, N_FRAME))
     idx = np.arange(n)[:, None] * HOP + np.arange(N_FRAME)[None, :]
@@ -230,7 +242,8 @@ def _batch_band_envelopes_jax(clean, denoised, lengths=None, fs: int = 16000):
     y = resample(jnp.asarray(denoised, jnp.float32))
 
     w = jnp.asarray(np.hanning(N_FRAME + 2)[1:-1], jnp.float32)
-    nfr = (x.shape[1] - N_FRAME) // HOP + 1
+    # pystoi-exclusive framing (see _frames): starts in range(0, S-256, 128)
+    nfr = max((x.shape[1] - N_FRAME + HOP - 1) // HOP, 0)
     idx = np.arange(nfr)[:, None] * HOP + np.arange(N_FRAME)[None, :]
     xf = x[:, idx] * w  # (B, F, 256)
     yf = y[:, idx] * w
@@ -239,8 +252,10 @@ def _batch_band_envelopes_jax(clean, denoised, lengths=None, fs: int = 16000):
     frame_ok = energy > (jnp.max(energy, axis=1, keepdims=True) - DYN_RANGE)
     if lengths is not None:
         res_len = (jnp.asarray(lengths) * up + down - 1) // down
+        # start < L - N_FRAME, strictly — the host path frames the trimmed
+        # signal with the same exclusive range
         frame_ok = frame_ok & (
-            (np.arange(nfr)[None, :] * HOP + N_FRAME) <= res_len[:, None]
+            (np.arange(nfr)[None, :] * HOP + N_FRAME) < res_len[:, None]
         )
 
     # static-shape excision: stable-compact kept frames to the front,
@@ -283,7 +298,7 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     (see :func:`_batch_band_envelopes_jax` for the shared front-end);
     segments beyond the per-clip kept-frame count are masked out of the
     average. Residual skew vs the host version is f32-vs-f64 arithmetic
-    only (measured < 2.7e-4 on real fixture speech;
+    only (measured < 1e-7 on real fixture speech;
     tests/test_estoi_oracle.py). Jitted: one compiled program per batch
     shape (eager per-op dispatch through the TPU tunnel is ~100x slower).
     """
@@ -294,8 +309,11 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     sidx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
     segs_x = xb[:, :, sidx]  # (B, J, M, N)
     segs_y = yb[:, :, sidx]
-    # segment m covers compacted frames [m, m+30) — valid iff m+30 <= n_keep
-    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_keep[:, None]  # (B, M)
+    # the host path has n_keep-1 envelope frames (pystoi's exclusive framing
+    # drops the OLA signal's final aligned frame); segment m covers
+    # compacted envelope frames [m, m+30) — valid iff m+30 <= n_keep-1
+    n_env = n_keep - 1
+    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_env[:, None]  # (B, M)
 
     def norm(s):
         s = s - jnp.mean(s, axis=-1, keepdims=True)
@@ -310,8 +328,8 @@ def estoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     denom = jnp.maximum(jnp.sum(seg_ok, axis=1), 1)
     score = jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
     # match the host/pystoi not-enough-frames sentinel (estoi() returns
-    # 1e-5 when fewer than N_SEG frames survive excision)
-    return jnp.where(n_keep >= N_SEG, score, 1e-5)
+    # 1e-5 when fewer than N_SEG envelope frames remain)
+    return jnp.where(n_env >= N_SEG, score, 1e-5)
 
 
 @functools.partial(_jax_jit_lazy, static_argnames=("fs",))
@@ -326,7 +344,8 @@ def stoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     sidx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
     segs_x = xb[:, :, sidx]  # (B, J, M, N)
     segs_y = yb[:, :, sidx]
-    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_keep[:, None]  # (B, M)
+    n_env = n_keep - 1  # see estoi_batch_jax: pystoi's exclusive framing
+    seg_ok = (np.arange(n_segs)[None, :] + N_SEG) <= n_env[:, None]  # (B, M)
 
     alpha = jnp.linalg.norm(segs_x, axis=-1, keepdims=True) / (
         jnp.linalg.norm(segs_y, axis=-1, keepdims=True) + 1e-20
@@ -339,4 +358,4 @@ def stoi_batch_jax(clean, denoised, lengths=None, fs: int = 16000):
     corr = jnp.mean(jnp.sum(xc * yc, axis=-1), axis=1)  # (B, M): band mean
     denom = jnp.maximum(jnp.sum(seg_ok, axis=1), 1)
     score = jnp.sum(jnp.where(seg_ok, corr, 0.0), axis=1) / denom
-    return jnp.where(n_keep >= N_SEG, score, 1e-5)
+    return jnp.where(n_env >= N_SEG, score, 1e-5)

@@ -57,8 +57,11 @@ def eye_alignment_angle(landmarks: jnp.ndarray) -> jnp.ndarray:
     def mid(roi):
         lo = jnp.min(roi, axis=-2)
         hi = jnp.max(roi, axis=-2)
-        # cv2.boundingRect integer mid: x + w // 2 — float version here
-        return (lo + (hi - lo) // 2) if roi.dtype.kind == "i" else (lo + hi) / 2.0
+        # cv2.boundingRect integer mid: x + w // 2 with w = hi - lo + 1
+        # (boundingRect's width counts both endpoints); float version here
+        return (
+            (lo + (hi - lo + 1) // 2) if roi.dtype.kind == "i" else (lo + hi) / 2.0
+        )
 
     left = mid(landmarks[..., 36:42, :])
     right = mid(landmarks[..., 42:48, :])

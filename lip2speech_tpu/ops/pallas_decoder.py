@@ -45,10 +45,6 @@ def _dot(x, w):
 
 
 def _make_kernel(cfg: ModelConfig, n_steps: int):
-    F = cfg.ffn_hidden_dim
-    half = F // 2
-    n_mels = cfg.n_mels
-
     def kernel(
         # per-batch tensors
         h_init_ref,      # (2, B, F)

@@ -37,12 +37,6 @@ def _pad_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     return jnp.pad(window, (left, n_fft - win_length - left))
 
 
-def num_frames(n_samples: int, n_fft: int, hop_length: int, center: bool = True) -> int:
-    if center:
-        return 1 + n_samples // hop_length
-    return 1 + (n_samples - n_fft) // hop_length
-
-
 def frame_signal(
     x: jnp.ndarray, n_fft: int, hop_length: int, center: bool = True
 ) -> jnp.ndarray:

@@ -146,6 +146,25 @@ def test_batched_align_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_integer_eye_midpoint_matches_host_bounding_rect():
+    """The jittable integer branch must reproduce the host (cv2-semantics)
+    bounding-rect midpoint — including even-extent ROIs where
+    w = hi - lo + 1 makes the midpoint differ from lo + (hi - lo) // 2."""
+    from lip2speech_tpu.data.face_align import eye_angle_degrees
+    from lip2speech_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        lm = np.zeros((68, 2), np.int32)
+        lm[36:42] = rng.integers(5, 20, (6, 2))
+        lm[42:48] = rng.integers(25, 40, (6, 2))
+        want = eye_angle_degrees(lm)
+        got = float(
+            np.degrees(np.asarray(image_ops.eye_alignment_angle(jnp.asarray(lm))))
+        )
+        assert abs(got - want) < 1e-5, (got, want)
+
+
 def test_sharded_loaders_assemble_global_batch(synth_root):
     """Multi-host data path (VERDICT r1 item 6): per-process sharded
     loaders with the same seed must reassemble into exactly the

@@ -97,6 +97,40 @@ def test_decoder_inference(decoder_vars):
     assert (np.asarray(out["lengths"]) <= CFG.max_decoder_steps).all()
 
 
+def test_discriminator_patch_extraction_matches_ragged_slice():
+    """extract_patch must place mel[:, :, start:start+length] at positions
+    [0, length) for EVERY reachable (start, length) — including start >
+    T-P, where a bare dynamic_slice would clamp and misalign the mask."""
+    from lip2speech_tpu.models.discriminator import extract_patch
+
+    P = CFG.discriminator_patch
+    T = 80
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(2, 80, T)).astype(np.float32))
+    fn = jax.jit(extract_patch, static_argnums=3)
+    for seed in range(50):
+        start, length = sample_patch(jax.random.PRNGKey(seed), T, P)
+        s, l = int(start), int(length)
+        assert s + l <= T  # reference invariant (discriminator.py:93-95)
+        got = np.asarray(fn(mel, start, length, P))
+        want = np.zeros((2, P, 80), np.float32)
+        want[:, :l] = np.swapaxes(np.asarray(mel)[:, :, s : s + l], 1, 2)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sample_patch_reaches_tail_frames():
+    """The reference start distribution (max(0, 1+u-length)) can place the
+    final mel frame inside the patch; the sampler must too."""
+    P = CFG.discriminator_patch
+    T = 80
+    tail_hit = 0
+    for seed in range(200):
+        start, length = sample_patch(jax.random.PRNGKey(seed), T, P)
+        if int(start) + int(length) == T:
+            tail_hit += 1
+    assert tail_hit > 0
+
+
 def test_discriminator_shapes():
     model = Discriminator(CFG)
     mel = jnp.zeros((3, 80, 77))
