@@ -70,6 +70,14 @@ def load_model(cfg: Config, model_path: str | None, batch_size: int = 1):
             "batch_stats": state["batch_stats"],
         }
         print(f"restored orbax checkpoint from {model_path}")
+    elif model_path:
+        # a given-but-unusable path (typo'd dir, wrong extension) must not
+        # silently fall through to random init — that would evaluate or
+        # fine-tune garbage weights with no indication why
+        raise FileNotFoundError(
+            f"model_path {model_path!r} is neither a .pth file nor an "
+            "existing orbax checkpoint directory"
+        )
     return model, variables, speaker_sd
 
 

@@ -79,8 +79,13 @@ def train(args, cfg: Config | None = None):
         rng_np.shuffle(order)
         for b in range(len(ds) // args.batch_size or 1):
             idxs = order[b * args.batch_size : (b + 1) * args.batch_size]
-            if len(idxs) == 0:
-                idxs = order[: args.batch_size]
+            if len(idxs) < args.batch_size:
+                # small corpus: repeat indices cyclically so the batch keeps
+                # its static size — a short batch cannot be device_put with
+                # the data sharding built for batch_size on a multi-device
+                # mesh
+                reps = -(-args.batch_size // max(len(order), 1))
+                idxs = np.tile(order, reps)[: args.batch_size]
             samples = [ds[int(i)] for i in idxs]
             batch = collate_speaker(samples)
             state, metrics = step_fn(

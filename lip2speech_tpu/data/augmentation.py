@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import numpy as np
 
+from lip2speech_tpu.data.rng import LockedRng
+
 
 class FaceAugmentation:
     def __init__(self, p_flip: float = 0.5, rng: np.random.Generator | None = None):
         self.p_flip = p_flip
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = LockedRng(rng)  # Loader threads share this generator
 
     def __call__(self, mouth: np.ndarray, faces: np.ndarray):
         if self.rng.random() < self.p_flip:

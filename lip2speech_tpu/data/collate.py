@@ -38,7 +38,10 @@ def collate(samples: Sequence[dict], cfg: DataConfig) -> dict[str, np.ndarray]:
     v_len = np.zeros((b,), np.int32)
     a_len = np.zeros((b,), np.int32)
 
-    hop = 256  # mel frames derive from audio length (spectograms.py contract)
+    # host-side estimate at the default hop; prepare_batch recomputes
+    # mel_lengths from the configured audio_cfg.hop_length and is the
+    # authoritative value the gate/mask are built from
+    hop = 256
     for i, s in enumerate(samples):
         t = min(s["mouth"].shape[0], tv)
         mouth[i, :t] = s["mouth"][:t]
@@ -82,11 +85,17 @@ def prepare_batch(
     faces = image_ops.normalize_face(raw["faces_u8"])
 
     mel = mel_ops.melspectrogram(raw["audio"], audio_cfg)  # (B, 80, Mfull)
+    # derive valid frame counts from the SAME hop the spectrogram above
+    # used — collate's host-side mel_lengths assumes the default hop and
+    # would desynchronize the gate/mask if audio.hop_length is overridden
+    mel_lengths = (1 + raw["audio_lengths"] // audio_cfg.hop_length).astype(
+        jnp.int32
+    )
     m = mel.shape[-1]
     steps = jnp.arange(m)[None, :]
-    valid = steps < raw["mel_lengths"][:, None]
+    valid = steps < mel_lengths[:, None]
     mel = jnp.where(valid[:, None, :], mel, data_cfg.mel_pad_value)
-    gate = (steps >= (raw["mel_lengths"] - 1)[:, None]).astype(jnp.float32)
+    gate = (steps >= (mel_lengths - 1)[:, None]).astype(jnp.float32)
 
     return {
         "video": video,
@@ -95,7 +104,7 @@ def prepare_batch(
         "gate": gate,
         "mel_mask": valid,
         "video_lengths": raw["video_lengths"],
-        "mel_lengths": raw["mel_lengths"],
+        "mel_lengths": mel_lengths,
         "audio": raw["audio"],
         "audio_lengths": raw["audio_lengths"],
     }

@@ -79,54 +79,82 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # interruptible q.put: a consumer that breaks out of the loop
+            # early (eval with max_batches, demo) sets `stop`, and a
+            # producer blocked on a full prefetch queue must notice — an
+            # unconditional q.put() would leak this thread + its pool
+            # (~9 threads and several collated batches) on every early exit
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                while True:
-                    idx = self._epoch_indices()
-                    nb = len(idx) // self.batch_size if self.drop_last else -(
-                        -len(idx) // self.batch_size
-                    )
-                    for b in range(nb):
-                        if stop.is_set():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    while True:
+                        idx = self._epoch_indices()
+                        nb = len(idx) // self.batch_size if self.drop_last else -(
+                            -len(idx) // self.batch_size
+                        )
+                        for b in range(nb):
+                            if stop.is_set():
+                                return
+                            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                            if len(chunk) == self.batch_size:
+                                lo = self.shard_index * self.local_batch_size
+                                chunk = chunk[lo : lo + self.local_batch_size]
+                            else:
+                                # ragged tail (drop_last=False): slice pro-rata
+                                # on the actual chunk length so every process
+                                # gets a near-equal (possibly empty-on-all-or-
+                                # none) share and multi-host batch assembly
+                                # stays consistent
+                                edges = np.linspace(0, len(chunk), self.shard_count + 1)
+                                edges = edges.round().astype(int)
+                                if (np.diff(edges) == 0).any():
+                                    # some process would get nothing: every
+                                    # process sees the same edges (same seed),
+                                    # so ALL skip this tail batch in lockstep
+                                    # (__len__ accounts for this)
+                                    logging.getLogger(__name__).warning(
+                                        "skipping %d-clip tail batch (< %d "
+                                        "processes)", len(chunk), self.shard_count,
+                                    )
+                                    continue
+                                chunk = chunk[
+                                    edges[self.shard_index] : edges[self.shard_index + 1]
+                                ]
+                            samples = list(pool.map(self.ds.__getitem__, chunk))
+                            if not put(("batch", collate(samples, self.cfg))):
+                                return
+                        if not self.infinite:
+                            put(("end", None))
                             return
-                        chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                        if len(chunk) == self.batch_size:
-                            lo = self.shard_index * self.local_batch_size
-                            chunk = chunk[lo : lo + self.local_batch_size]
-                        else:
-                            # ragged tail (drop_last=False): slice pro-rata
-                            # on the actual chunk length so every process
-                            # gets a near-equal (possibly empty-on-all-or-
-                            # none) share and multi-host batch assembly
-                            # stays consistent
-                            edges = np.linspace(0, len(chunk), self.shard_count + 1)
-                            edges = edges.round().astype(int)
-                            if (np.diff(edges) == 0).any():
-                                # some process would get nothing: every
-                                # process sees the same edges (same seed),
-                                # so ALL skip this tail batch in lockstep
-                                # (__len__ accounts for this)
-                                logging.getLogger(__name__).warning(
-                                    "skipping %d-clip tail batch (< %d "
-                                    "processes)", len(chunk), self.shard_count,
-                                )
-                                continue
-                            chunk = chunk[
-                                edges[self.shard_index] : edges[self.shard_index + 1]
-                            ]
-                        samples = list(pool.map(self.ds.__getitem__, chunk))
-                        q.put(collate(samples, self.cfg))
-                    if not self.infinite:
-                        q.put(None)
-                        return
+            except BaseException as e:  # noqa: BLE001 — surfaced to consumer
+                # a failing __getitem__ must raise in the training loop, not
+                # kill this thread silently and leave q.get() blocked forever
+                put(("error", e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
-                batch = q.get()
-                if batch is None:
+                kind, payload = q.get()
+                if kind == "end":
                     return
-                yield batch
+                if kind == "error":
+                    raise RuntimeError("Loader worker failed") from payload
+                yield payload
         finally:
             stop.set()
+            # unblock a producer mid-put so it can exit promptly
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -19,6 +19,8 @@ import os
 import pickle
 import numpy as np
 
+from lip2speech_tpu.data.rng import LockedRng
+
 from lip2speech_tpu.config import DataConfig
 
 try:
@@ -63,7 +65,7 @@ class LRW:
         self.mode = mode
         self.cfg = cfg
         self.augmentation = augmentation
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = LockedRng(rng)  # Loader threads share this generator
 
         self.items: list[tuple[str, str, str]] = []
         csv_path = os.path.join(root, "lrw500_detected_face.csv")

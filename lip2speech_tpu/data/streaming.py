@@ -22,6 +22,8 @@ import threading
 
 import numpy as np
 
+from lip2speech_tpu.data.rng import LockedRng
+
 from lip2speech_tpu.config import DataConfig
 from lip2speech_tpu.data.face_align import align_and_crop_face
 from lip2speech_tpu.data.wild import load_wav
@@ -55,7 +57,7 @@ class StreamingWindowDataset:
         self.cfg = cfg
         self.duration = duration
         self.augmentation = augmentation
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = LockedRng(rng)  # Loader threads share this generator
 
         self.items: list[tuple[str, str, str]] = []
         for dirpath, _, files in sorted(os.walk(self._walk_root(root, mode))):

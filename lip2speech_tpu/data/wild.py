@@ -15,6 +15,8 @@ import os
 
 import numpy as np
 
+from lip2speech_tpu.data.rng import LockedRng
+
 from lip2speech_tpu.config import DataConfig
 from lip2speech_tpu.data.lrw import load_jpeg_stack
 
@@ -57,7 +59,7 @@ class WILD:
         assert mode in ("train", "test")
         self.cfg = cfg
         self.augmentation = augmentation
-        self.rng = rng or np.random.default_rng(0)
+        self.rng = LockedRng(rng)  # Loader threads share this generator
 
         self.items: list[tuple[str, str, str]] = []
         for dirpath, _, files in sorted(os.walk(root)):

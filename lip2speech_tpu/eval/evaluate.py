@@ -14,6 +14,7 @@ variant available for large-scale eval.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -24,6 +25,58 @@ from lip2speech_tpu.config import Config
 from lip2speech_tpu.data import Loader, prepare_batch
 from lip2speech_tpu.ops import estoi as estoi_ops
 from lip2speech_tpu.ops import griffin_lim as gl_ops
+
+
+@functools.lru_cache(maxsize=8)
+def _build_eval_fns(model, cfg: Config, n_gl_iters: int, metric: str,
+                    row_sharding, seed: int):
+    """Jitted forward+invert and device-metric programs, memoized so the
+    periodic eval from the training loop reuses the traced computation
+    instead of re-tracing/lowering the full model every tick (fresh
+    closures defeat jit's identity-keyed cache). All key components are
+    hashable: flax Modules and Config are frozen dataclasses, NamedSharding
+    hashes by mesh+spec."""
+    batch_fn = (
+        estoi_ops.estoi_batch_jax if metric == "estoi" else estoi_ops.stoi_batch_jax
+    )
+    bf16 = cfg.train.bf16
+    rngs = {
+        "gumbel": jax.random.PRNGKey(seed),
+        "teacher": jax.random.PRNGKey(seed + 1),
+        "dropout": jax.random.PRNGKey(seed + 2),
+    }
+
+    @jax.jit
+    def forward_invert(vars_, batch, key):
+        if bf16:
+            from lip2speech_tpu.train.train_step import cast_floats
+
+            vars_ = cast_floats(vars_, jnp.bfloat16)
+            batch = cast_floats(batch, jnp.bfloat16)
+        out = model.apply(
+            vars_,
+            batch["video"],
+            batch["faces"],
+            batch["mel"],
+            1.0,
+            None,
+            rngs,
+            train=False,
+        )
+        mel_pred = out["mel_postnet"].astype(jnp.float32)  # (B, 80, M)
+        wav = gl_ops.mel_to_audio(mel_pred, key, cfg.audio, n_iter=n_gl_iters)
+        if row_sharding is not None:
+            wav = jax.lax.with_sharding_constraint(wav, row_sharding)
+        return wav
+
+    @jax.jit
+    def score_batch(gt_dev, wav, lens):
+        s = batch_fn(gt_dev, wav, lengths=lens, fs=cfg.audio.sample_rate)
+        if row_sharding is not None:
+            s = jax.lax.with_sharding_constraint(s, row_sharding)
+        return s
+
+    return forward_invert, score_batch
 
 
 def evaluate_net(
@@ -50,9 +103,6 @@ def evaluate_net(
     """
     assert metric in ("estoi", "stoi"), metric
     host_fn = estoi_ops.estoi if metric == "estoi" else estoi_ops.stoi
-    batch_fn = (
-        estoi_ops.estoi_batch_jax if metric == "estoi" else estoi_ops.stoi_batch_jax
-    )
     n_proc = jax.process_count()
     # The loader-sharding and mesh-sharding decisions MUST agree: per-
     # process loader slices are only valid when the global array is
@@ -84,43 +134,9 @@ def evaluate_net(
         shard_index=jax.process_index() if shard_loader else 0,
         shard_count=n_proc if shard_loader else 1,
     )
-    rngs = {
-        "gumbel": jax.random.PRNGKey(seed),
-        "teacher": jax.random.PRNGKey(seed + 1),
-        "dropout": jax.random.PRNGKey(seed + 2),
-    }
-
-    bf16 = cfg.train.bf16
-
-    @jax.jit
-    def forward_invert(vars_, batch, key):
-        if bf16:
-            from lip2speech_tpu.train.train_step import cast_floats
-
-            vars_ = cast_floats(vars_, jnp.bfloat16)
-            batch = cast_floats(batch, jnp.bfloat16)
-        out = model.apply(
-            vars_,
-            batch["video"],
-            batch["faces"],
-            batch["mel"],
-            1.0,
-            None,
-            rngs,
-            train=False,
-        )
-        mel_pred = out["mel_postnet"].astype(jnp.float32)  # (B, 80, M)
-        wav = gl_ops.mel_to_audio(mel_pred, key, cfg.audio, n_iter=n_gl_iters)
-        if row_sharding is not None:
-            wav = jax.lax.with_sharding_constraint(wav, row_sharding)
-        return wav
-
-    @jax.jit
-    def score_batch(gt_dev, wav, lens):
-        s = batch_fn(gt_dev, wav, lengths=lens, fs=cfg.audio.sample_rate)
-        if row_sharding is not None:
-            s = jax.lax.with_sharding_constraint(s, row_sharding)
-        return s
+    forward_invert, score_batch = _build_eval_fns(
+        model, cfg, n_gl_iters, metric, row_sharding, seed
+    )
 
     scores = []
     key = jax.random.PRNGKey(seed)

@@ -154,7 +154,12 @@ def adversarial_train_step(
     import optax as _optax
 
     from lip2speech_tpu.train.losses import lip2speech_loss
-    from lip2speech_tpu.train.train_step import TrainState, cast_floats, uncast_floats
+    from lip2speech_tpu.train.train_step import (
+        TrainState,
+        cast_floats,
+        trainable_mask,
+        uncast_floats,
+    )
 
     step_rng = jax.random.fold_in(rng, state.step)
     names = [
@@ -165,8 +170,16 @@ def adversarial_train_step(
 
     bf16 = cfg.train.bf16
     fwd_batch = cast_floats(batch, jnp.bfloat16) if bf16 else batch
+    is_trainable = trainable_mask(state.params)
 
     def loss_fn(params):
+        # see train_step.loss_fn: stop gradients at the frozen branches so
+        # XLA drops their backward passes (their updates are zeroed anyway)
+        params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            params,
+            is_trainable,
+        )
         fwd_params = cast_floats(params, jnp.bfloat16) if bf16 else params
         fwd_stats = (
             cast_floats(state.batch_stats, jnp.bfloat16) if bf16 else state.batch_stats

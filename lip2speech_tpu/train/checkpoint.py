@@ -385,10 +385,14 @@ def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
     ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
+    # only finalized step dirs count: a save interrupted mid-write leaves
+    # 'step_N.orbax-checkpoint-tmp-<ts>' behind (orbax atomicity suffix),
+    # which must not crash the int() parse — resume-after-preemption is
+    # exactly when such leftovers exist
     steps = [
-        int(d.split("_")[1])
+        int(d[len("step_") :])
         for d in os.listdir(ckpt_dir)
-        if d.startswith("step_") and not d.endswith(".tmp")
+        if d.startswith("step_") and d[len("step_") :].isdigit()
     ]
     if not steps:
         return None

@@ -65,6 +65,14 @@ class MetricLogger:
         def flat(tree, tag):
             out = {}
             for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                # multi-host TP: a leaf sharded across processes cannot be
+                # fetched with np.asarray (spans non-addressable devices);
+                # summarize this process' local shards instead of crashing
+                # the run at the first logging tick
+                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                    leaf = np.concatenate(
+                        [np.asarray(s.data).ravel() for s in leaf.addressable_shards]
+                    )
                 name = "/".join(
                     str(getattr(k, "key", getattr(k, "idx", k))) for k in path
                 )

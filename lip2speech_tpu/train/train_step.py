@@ -129,8 +129,18 @@ def train_step(
 
     bf16 = cfg.train.bf16
     fwd_batch = cast_floats(batch, jnp.bfloat16) if bf16 else batch
+    is_trainable = trainable_mask(state.params)
 
     def loss_fn(params):
+        # stop gradients at the frozen branches (vgg_face & co): their
+        # updates are zeroed by the optimizer anyway, and stopping here
+        # lets XLA drop the whole InceptionResnetV1 backward pass instead
+        # of computing gradients that multi_transform discards
+        params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            params,
+            is_trainable,
+        )
         fwd_params = cast_floats(params, jnp.bfloat16) if bf16 else params
         fwd_stats = (
             cast_floats(state.batch_stats, jnp.bfloat16) if bf16 else state.batch_stats

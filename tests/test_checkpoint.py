@@ -135,3 +135,38 @@ def test_restore_across_nonfinite_schema(tmp_path):
     state, _ = ckpt.restore_checkpoint(d2, template=make_state(True))
     assert isinstance(state["opt_state"], optax.ApplyIfFiniteState)
     assert int(state["step"]) == 5
+
+
+def test_restore_ignores_interrupted_orbax_tmp_dirs(tmp_path):
+    """A save killed mid-write leaves 'step_N.orbax-checkpoint-tmp-<ts>'
+    behind; resume must skip it and restore the newest finalized step
+    instead of crashing on the int() parse."""
+    import os
+
+    from typing import NamedTuple
+
+    class S(NamedTuple):
+        params: dict
+
+    d = str(tmp_path / "ckpts")
+    payload = S(params={"w": np.arange(4, dtype=np.float32)})
+    ckpt.save_checkpoint(d, 7, payload, extra={"best_score": np.asarray(0.1)})
+    # simulate an interrupted later save (orbax atomicity temp suffix)
+    os.makedirs(os.path.join(d, "step_9.orbax-checkpoint-tmp-1712345678"))
+    restored = ckpt.restore_checkpoint(d, template=None)
+    assert restored is not None
+    state, _ = restored
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["w"]), payload.params["w"]
+    )
+
+
+def test_load_model_rejects_bogus_path(tmp_path):
+    """A typo'd --model_path must raise, not silently run on random init."""
+    import pytest
+
+    from lip2speech_tpu.cli.common import load_model
+    from lip2speech_tpu.config import Config
+
+    with pytest.raises(FileNotFoundError, match="neither"):
+        load_model(Config(), str(tmp_path / "defualt"), batch_size=1)

@@ -70,12 +70,68 @@ def test_collate_and_prepare_batch(synth_root):
     assert v.min() > -4 and v.max() < 4
 
 
+def test_prepare_batch_respects_custom_hop(synth_root):
+    """collate estimates mel_lengths at the default hop 256; prepare_batch
+    must recompute from the configured hop so the gate/mask stay aligned
+    with the actual spectrogram framing."""
+    import dataclasses
+
+    ds = LRW(synth_root, mode="test", cfg=DCFG)
+    raw = collate([ds[i] for i in range(2)], DCFG)
+    acfg = dataclasses.replace(AudioConfig(), hop_length=128)
+    batch = prepare_batch(
+        {k: jnp.asarray(v) for k, v in raw.items()}, acfg, DCFG
+    )
+    expect = 1 + raw["audio_lengths"] // 128
+    np.testing.assert_array_equal(np.asarray(batch["mel_lengths"]), expect)
+    gate = np.asarray(batch["gate"])
+    for i in range(2):
+        m = int(expect[i])
+        assert (gate[i, : m - 1] == 0).all() and (gate[i, m - 1 :] == 1).all()
+
+
 def test_loader_iterates(synth_root):
     ds = LRW(synth_root, mode="test", cfg=DCFG)
     loader = Loader(ds, batch_size=2, cfg=DCFG, num_workers=2, shuffle=True)
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]["mouth_u8"].shape[0] == 2
+
+
+def test_loader_surfaces_dataset_errors():
+    """A failing __getitem__ must raise in the consuming loop — a silently
+    dead producer thread would leave q.get() blocked forever."""
+    import pytest
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt clip")
+
+    loader = Loader(Broken(), batch_size=2, cfg=DCFG, num_workers=2)
+    with pytest.raises(RuntimeError, match="Loader worker failed"):
+        next(iter(loader))
+
+
+def test_loader_early_exit_stops_producer(synth_root):
+    """Breaking out of the batch loop (eval with max_batches, demo) must
+    not leak the producer thread blocked on a full prefetch queue."""
+    import threading
+    import time
+
+    ds = LRW(synth_root, mode="test", cfg=DCFG)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(Loader(ds, batch_size=1, cfg=DCFG, num_workers=2,
+                         infinite=True, prefetch=1))
+        next(it)
+        it.close()  # generator finally -> stop.set() + queue drain
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, threading.active_count()
 
 
 def test_augmentation_flip_consistency():
