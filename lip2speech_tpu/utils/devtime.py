@@ -3,14 +3,25 @@
 The TPU in this environment is reached through an RPC tunnel with a
 ~30-36 ms round trip, and ``jax.block_until_ready`` does NOT actually
 synchronize through it — per-call timing or dispatch-pipelined loops
-measure the tunnel, not the chip. The only trustworthy protocol is to
-chain N iterations inside ONE jitted ``fori_loop`` (a scalar derived
-from each output perturbs the next input, forcing serial on-device
-execution) and read a single scalar back on the host.
+measure the tunnel, not the chip. Chaining N iterations inside ONE
+jitted loop (a scalar derived from each output perturbs the next input,
+forcing serial on-device execution) removes the per-iteration tunnel
+cost, but a single loop still pays one RTT per host read: at N=10 that
+is ~3 ms/call of phantom cost — enough to make every small op in a
+sweep measure a flat ~2.4-3 ms (this exact artifact produced round 3's
+wrong "flat per-pass cost" trunk conclusion, DESIGN.md).
 
-Used by tools/bench_stages.py, tools/bench_frontend_conv.py, and
-tools/profile_inference.py; bench.py uses the equivalent in-program
-data-dependent-scalar form.
+The protocol here cancels the fixed cost exactly: the loop takes its
+trip count as a *traced* scalar (one compile serves every N), the same
+program is timed at N and 2N, and the per-call time is the difference
+quotient (t_2N - t_N) / N. Everything constant per host read — tunnel
+RTT, dispatch, the final scalar transfer — subtracts out; only the
+marginal on-device iteration cost remains.
+
+Used by tools/bench_stages.py, tools/bench_frontend_conv.py,
+tools/bench_trunk_ops.py and tools/profile_inference.py; bench.py uses
+whole-batch wall time over many pipelined dispatches instead (there the
+RTT is amortized by design and represents real serving overhead).
 """
 
 from __future__ import annotations
@@ -22,30 +33,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_time(fn, *args, n: int = 10, repeats: int = 3) -> float:
+def device_time(fn, *args, n: int = 20, repeats: int = 3) -> float:
     """Median seconds per call of ``fn(*args)``, measured on-device.
 
     ``fn``'s first argument must be a float array (it receives a tiny
     data-dependent perturbation each iteration — one broadcast-add,
-    ~0.1-0.3 ms at B=64, negligible at the ms scale ranked here); the
-    output may be any pytree (the first leaf provides the chaining
-    scalar).
+    negligible at the scales ranked here); the output may be any pytree
+    (the first leaf provides the chaining scalar).
+
+    Returns the RTT-free marginal cost: the loop runs with a dynamic
+    trip count and each repeat times N and 2N back to back, so the
+    fixed per-read cost (tunnel round trip, dispatch, transfer) cancels
+    in the (t_2N - t_N) / N quotient.
     """
 
     @jax.jit
-    def loop(*a):
+    def loop(trips, *a):
         def body(i, c):
             out = fn(a[0] + c.astype(a[0].dtype), *a[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
             leaf = leaf if hasattr(leaf, "reshape") else jnp.asarray(leaf)
             return leaf.reshape(-1)[0].astype(jnp.float32) * 1e-12
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, trips, body, jnp.float32(0.0))
 
-    float(loop(*args))  # compile + warm
+    n1 = jnp.int32(n)
+    n2 = jnp.int32(2 * n)
+    float(loop(n2, *args))  # compile + warm (same executable for any N)
+
+    def timed(trips):
+        t0 = time.time()
+        float(loop(trips, *args))
+        return time.time() - t0
+
     ts = []
     for _ in range(repeats):
-        t0 = time.time()
-        float(loop(*args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) / n
+        t_n = timed(n1)
+        t_2n = timed(n2)
+        ts.append((t_2n - t_n) / n)
+    return max(float(np.median(ts)), 0.0)
