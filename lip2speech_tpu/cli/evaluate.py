@@ -29,9 +29,10 @@ def parse_args(argv=None):
                    help="batched on-device metric (same algorithm, static-"
                         "shape excision; measured <= 2.7e-4 off the host "
                         "metric on fixture speech)")
-    p.add_argument("--metric", choices=("estoi", "stoi"), default="estoi",
-                   help="intelligibility metric: the reference's ESTOI "
-                        "(Report.pdf 0.42) or STOI (Report.pdf 0.66)")
+    p.add_argument("--metric", choices=("estoi", "stoi", "pesq"), default="estoi",
+                   help="quality metric: the reference's ESTOI (Report.pdf "
+                        "0.42), STOI (0.66), or PESQ (1.38; requires the "
+                        "`pesq` wheel — see eval/metrics.py registry)")
     return p.parse_args(argv)
 
 

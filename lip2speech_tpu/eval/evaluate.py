@@ -101,8 +101,15 @@ def evaluate_net(
     TP/DP-sharded ``variables``; multi-process runs shard the loader per
     process and average scores across processes.
     """
-    assert metric in ("estoi", "stoi"), metric
-    host_fn = estoi_ops.estoi if metric == "estoi" else estoi_ops.stoi
+    assert metric in ("estoi", "stoi", "pesq"), metric
+    # host metric via the registry: estoi/stoi are native; pesq resolves to
+    # the real ITU wrapper when its wheel is installed and raises
+    # MetricUnavailable with install instructions otherwise (eval/metrics.py)
+    from lip2speech_tpu.eval.metrics import get_waveform_metric
+
+    if metric == "pesq" and device_estoi:
+        raise ValueError("pesq has no on-device variant; drop --device_estoi")
+    host_fn = get_waveform_metric(metric)
     n_proc = jax.process_count()
     # The loader-sharding and mesh-sharding decisions MUST agree: per-
     # process loader slices are only valid when the global array is

@@ -27,24 +27,35 @@ RTT is amortized by design and represents real serving overhead).
 from __future__ import annotations
 
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def device_time(fn, *args, n: int = 20, repeats: int = 3) -> float:
+def device_time(fn, *args, n: int = 20, repeats: int = 7) -> float:
     """Median seconds per call of ``fn(*args)``, measured on-device.
 
     ``fn``'s first argument must be a float array (it receives a tiny
-    data-dependent perturbation each iteration — one broadcast-add,
-    negligible at the scales ranked here); the output may be any pytree
-    (the first leaf provides the chaining scalar).
+    data-dependent perturbation each iteration). The perturbation is a
+    broadcast-add over the whole input — a full read+write memory pass —
+    because anything cheaper (single-element update) still materializes
+    a copy of the loop-invariant input, and leaving the input unperturbed
+    lets XLA's while-loop invariant code motion hoist ``fn`` out of the
+    loop entirely. Interpretation rule: every measurement carries up to
+    ~+1 memory pass over the input, so for single-pass bandwidth-bound
+    ops (e.g. a plain concat used as a floor) the absolute number can be
+    inflated up to ~2x; *rankings among variants of the same input* are
+    unaffected because the bias is identical. The output may be any
+    pytree (the first leaf provides the chaining scalar).
 
     Returns the RTT-free marginal cost: the loop runs with a dynamic
     trip count and each repeat times N and 2N back to back, so the
     fixed per-read cost (tunnel round trip, dispatch, transfer) cancels
-    in the (t_2N - t_N) / N quotient.
+    in the (t_2N - t_N) / N quotient. When the median difference comes
+    out non-positive (noise-dominated sub-resolution op) the function
+    warns and returns 0.0 rather than silently reporting a clamp.
     """
 
     @jax.jit
@@ -62,13 +73,22 @@ def device_time(fn, *args, n: int = 20, repeats: int = 3) -> float:
     float(loop(n2, *args))  # compile + warm (same executable for any N)
 
     def timed(trips):
-        t0 = time.time()
+        t0 = time.perf_counter()
         float(loop(trips, *args))
-        return time.time() - t0
+        return time.perf_counter() - t0
 
     ts = []
     for _ in range(repeats):
         t_n = timed(n1)
         t_2n = timed(n2)
         ts.append((t_2n - t_n) / n)
-    return max(float(np.median(ts)), 0.0)
+    med = float(np.median(ts))
+    if med <= 0.0:
+        warnings.warn(
+            f"device_time: non-positive median difference ({med:.3e}s over "
+            f"{repeats} N/2N pairs, spread {min(ts):.3e}..{max(ts):.3e}) — "
+            "op is below measurement resolution; returning 0.0",
+            stacklevel=2,
+        )
+        return 0.0
+    return med

@@ -107,8 +107,12 @@ def main():
                 "invert_ms": round(t_inv * 1e3, 1),
                 "model_fwd_ms_with_rtt": round(t_fwd_rtt * 1e3, 1),
                 "invert_ms_with_rtt": round(t_inv_rtt * 1e3, 1),
-                "model_clips_per_sec": round(b / t_fwd, 1),
-                "pipeline_clips_per_sec": round(b / (t_fwd + t_inv), 1),
+                # device_time returns 0.0 for noise-dominated measurements;
+                # emit null rather than dividing by zero
+                "model_clips_per_sec": round(b / t_fwd, 1) if t_fwd > 0 else None,
+                "pipeline_clips_per_sec": (
+                    round(b / (t_fwd + t_inv), 1) if t_fwd + t_inv > 0 else None
+                ),
                 "trace_dir": args.trace_dir,
             }
         )
