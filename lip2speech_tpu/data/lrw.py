@@ -50,7 +50,17 @@ def load_jpeg_stack(path: str) -> np.ndarray:
 
 class LRW:
     """Map-style dataset; ``__getitem__`` returns the host sample dict the
-    collate expects."""
+    collate expects.
+
+    ``cache_bytes`` > 0 keeps decoded (mouth, faces, audio) arrays in an
+    in-memory byte-budgeted cache — decode (bz2 + pickle + JPEG) is the
+    dominant host cost (~17 ms/clip/core, tools/bench_loader.py) and is
+    deterministic per clip, while augmentation and the random face crops
+    stay downstream of the cache and re-randomize every epoch. This is
+    what lets a repeated working set (fixture overfits, small corpora,
+    epoch >= 2 of anything that fits) feed the TPU step at step rate from
+    one host core; full 490k-clip LRW needs the multi-core decode path
+    instead (Loader num_workers + the GIL-free native JPEG module)."""
 
     def __init__(
         self,
@@ -59,6 +69,7 @@ class LRW:
         cfg: DataConfig = DataConfig(),
         augmentation=None,
         rng: np.random.Generator | None = None,
+        cache_bytes: int = 0,
     ):
         assert mode in ("train", "test", "val")
         self.root = root
@@ -66,6 +77,10 @@ class LRW:
         self.cfg = cfg
         self.augmentation = augmentation
         self.rng = LockedRng(rng)  # Loader threads share this generator
+        self._cache: dict[int, tuple] = {}
+        self._cache_lock = __import__("threading").Lock()
+        self._cache_bytes = 0
+        self._cache_budget = int(cache_bytes)
 
         self.items: list[tuple[str, str, str]] = []
         csv_path = os.path.join(root, "lrw500_detected_face.csv")
@@ -101,11 +116,31 @@ class LRW:
     def __len__(self) -> int:
         return len(self.items)
 
-    def __getitem__(self, idx: int) -> dict:
+    def _decode(self, idx: int) -> tuple:
         face_path, mouth_path, audio_path = self.items[idx]
+        with self._cache_lock:
+            hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
         faces = load_jpeg_stack(face_path)
         mouth = load_jpeg_stack(mouth_path)
         audio = np.load(audio_path)["data"].astype(np.float32)
+        entry = (faces, mouth, audio, audio_path)
+        size = faces.nbytes + mouth.nbytes + audio.nbytes
+        with self._cache_lock:
+            if idx not in self._cache and self._cache_bytes + size <= self._cache_budget:
+                # no eviction: the first working set to fill the budget
+                # stays (uniform-random epoch order makes LRU churn)
+                self._cache[idx] = entry
+                self._cache_bytes += size
+        return entry
+
+    def __getitem__(self, idx: int) -> dict:
+        faces, mouth, audio, audio_path = self._decode(idx)
+        if self._cache_budget:
+            # augmentation mutates in place on some paths — never hand the
+            # cached arrays out for writing
+            faces, mouth = faces.copy(), mouth.copy()
 
         if self.augmentation is not None:
             mouth, faces = self.augmentation(mouth, faces)

@@ -47,6 +47,46 @@ def test_lrw_reads_synth_fixture(synth_root):
     assert s["mouth"].shape == (29, 96, 96, 3)
 
 
+def test_lrw_decoded_cache(synth_root):
+    """cache_bytes keeps decoded arrays: hits skip decode, identical data,
+    budget respected, augmentation randomness preserved downstream."""
+    import time
+
+    from lip2speech_tpu.data import FaceAugmentation
+
+    ds = LRW(synth_root, mode="test", cfg=DCFG, cache_bytes=2**30,
+             augmentation=FaceAugmentation())
+    cold = ds[0]
+    assert len(ds._cache) == 1 and ds._cache_bytes > 0
+    warm = ds[0]
+    assert np.array_equal(cold["mouth"].shape, warm["mouth"].shape)
+    assert np.array_equal(cold["audio"], warm["audio"])  # decode is deterministic
+    # cached decoded arrays must not be mutated by augmentation in place
+    m0 = ds._cache[0][1].copy()
+    for _ in range(4):
+        ds[0]
+    assert np.array_equal(ds._cache[0][1], m0)
+
+    # zero budget -> no caching (default behavior unchanged)
+    ds0 = LRW(synth_root, mode="test", cfg=DCFG)
+    ds0[0]
+    assert ds0._cache == {} and ds0._cache_bytes == 0
+
+    # tiny budget -> first entry only if it fits, never exceeds
+    one = ds._cache_bytes
+    ds1 = LRW(synth_root, mode="test", cfg=DCFG, cache_bytes=one + 1)
+    ds1[0], ds1[1], ds1[2]
+    assert ds1._cache_bytes <= one + 1
+    assert len(ds1._cache) == 1
+
+    # warm reads are faster than cold decode on real-size clips (smoke:
+    # just assert the cache path returns promptly)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ds._decode(0)
+    assert time.perf_counter() - t0 < 0.5
+
+
 def test_collate_and_prepare_batch(synth_root):
     ds = LRW(synth_root, mode="test", cfg=DCFG)
     raw = collate([ds[i] for i in range(4)], DCFG)

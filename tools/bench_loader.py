@@ -27,29 +27,36 @@ def main():
     args = ap.parse_args()
 
     cfg = DataConfig()
-    ds = LRW(args.root, mode="test", cfg=cfg)
-    for workers in (1, 2, 4):
-        loader = Loader(
-            ds, args.batch_size, cfg, shuffle=True, infinite=True,
-            num_workers=workers, seed=0,
-        )
-        it = iter(loader)
-        next(it)  # warm the thread pool + page cache
-        t0 = time.time()
-        for _ in range(args.batches):
-            next(it)
-        dt = time.time() - t0
-        clips = args.batches * args.batch_size
-        print(
-            json.dumps(
-                {
-                    "workers": workers,
-                    "clips_per_sec": round(clips / dt, 1),
-                    "clips_per_sec_per_worker": round(clips / dt / workers, 1),
-                }
-            ),
-            flush=True,
-        )
+    for cache_gb, label in ((0.0, "decode"), (4.0, "cached")):
+        ds = LRW(args.root, mode="test", cfg=cfg,
+                 cache_bytes=int(cache_gb * 2**30))
+        for workers in (1, 2, 4):
+            loader = Loader(
+                ds, args.batch_size, cfg, shuffle=True, infinite=True,
+                num_workers=workers, seed=0,
+            )
+            it = iter(loader)
+            # warm the thread pool + page cache (+ the decoded cache on
+            # the 'cached' row: steady state = epoch >= 2 of a working
+            # set that fits the budget)
+            for _ in range(2 if cache_gb else 1):
+                next(it)
+            t0 = time.time()
+            for _ in range(args.batches):
+                next(it)
+            dt = time.time() - t0
+            clips = args.batches * args.batch_size
+            print(
+                json.dumps(
+                    {
+                        "mode": label,
+                        "workers": workers,
+                        "clips_per_sec": round(clips / dt, 1),
+                        "clips_per_sec_per_worker": round(clips / dt / workers, 1),
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
