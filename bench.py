@@ -95,11 +95,13 @@ def main():
         jax.random.PRNGKey(1), (b, cfg.data.n_face_crops, *cfg.data.face_size, 3)
     )
     rngs = {"gumbel": jax.random.PRNGKey(1)}
-    variables = model.init(
+    import functools as _ft
+
+    # jitted init — eager flax init pays per-op dispatch through the tunnel
+    variables = jax.jit(_ft.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)},
         video, faces, jnp.zeros((b, 80, 8)), 0.5, None,
         {**rngs, "teacher": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
-        train=False,
     )
 
     # ---------------- inference (video -> waveform) ----------------

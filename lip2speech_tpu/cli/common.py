@@ -32,7 +32,16 @@ def add_common_args(p: argparse.ArgumentParser):
 
 
 def init_variables(model: Lip2Speech, cfg: Config, batch_size: int = 1):
-    """Initialize full-model variables at the configured static shapes."""
+    """Initialize full-model variables at the configured static shapes.
+
+    The init MUST run under jit: eagerly it executes hundreds of small
+    ops one by one, each paying per-op compile + dispatch — through the
+    axon tunnel (~30 ms RTT/op) that measured 20+ minutes of CLI startup.
+    One jitted program compiles once (persistently cached) and runs in
+    seconds everywhere.
+    """
+    import functools
+
     d = cfg.data
     video = jnp.zeros((batch_size, 3, *d.mouth_size, 3))
     faces = jnp.zeros((batch_size, d.n_face_crops, *d.face_size, 3))
@@ -42,9 +51,10 @@ def init_variables(model: Lip2Speech, cfg: Config, batch_size: int = 1):
         "teacher": jax.random.PRNGKey(2),
         "dropout": jax.random.PRNGKey(3),
     }
-    return model.init(
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    return init_fn(
         {"params": jax.random.PRNGKey(cfg.train.seed)},
-        video, faces, mels, 0.5, None, rngs, train=False,
+        video, faces, mels, 0.5, None, rngs,
     )
 
 

@@ -49,7 +49,7 @@ def main(argv=None):
     speaker_vars = None
     if args.encoding == "voice":
         speaker = SpeakerEncoder(cfg.model)
-        speaker_vars = speaker.init(
+        speaker_vars = jax.jit(speaker.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 16000))
         )
         if speaker_sd:

@@ -57,14 +57,23 @@ def create_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
-# Tensor-parallel rules: param-path regex -> PartitionSpec. The big
-# square-ish matmuls in the decoder AR step and the conv banks are sharded
-# on their output (last) dim; everything else is replicated. psum/all-gather
-# over 'model' rides ICI.
+# Tensor-parallel rules: param-path regex -> PartitionSpec.
+#
+# ONLY time-batched (non-scan) matmuls shard over 'model'. A weight that
+# lives inside a lax.scan body and is sharded on its output dim forces a
+# collective (all-gather of the carried activation) EVERY scan step —
+# for the 300-step AR decoder that is 300+ serial ICI latencies per
+# forward, each amortizing a (B, F/N) matmul far too small to care
+# (round-3 rules sharded prenet/Q/attention_proj/content_Q/fc_out and
+# both decoder_rnn layers this way; tools/audit_tp_hlo.py counts the
+# resulting in-loop collectives, and the regression test pins the fixed
+# rules to ZERO inside the AR while-loop). The conv banks and conv_last
+# batch over all frames in one GEMM, so their single all-reduce
+# amortizes over B*T rows — those stay sharded. At this model size
+# (265 MB) TP is never FLOP-motivated (SURVEY §2.10); it exists for
+# memory relief and for wider variants, so it must at least never make
+# the serial path worse.
 TP_RULES: list[tuple[str, P]] = [
-    (r"decoder/(Q|prenet\d|fc_out|attention_proj|content_Q)_kernel$", P(None, "model")),
-    (r"decoder/decoder_rnn_l\d_(wx|wh)$", P(None, "model")),
-    (r"decoder/encoder_rnn/.*/(wx|wh)$", P(None, "model")),
     (r"decoder/(K_bank|V_bank)/.*(conv_k\d+|bottleneck)/kernel$", P(None, None, "model")),
     (r"encoder/trunk/conv_last_conv/kernel$", P(None, None, None, "model")),
 ]

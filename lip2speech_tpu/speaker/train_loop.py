@@ -56,9 +56,15 @@ def init_speaker_training(cfg: Config, rng: jax.Array, batch_size: int = 4):
 
     k1, k2, k3 = jax.random.split(rng, 3)
     faces = jnp.zeros((batch_size, 160, 160, 3))
-    face_vars = face_net.init(k1, faces, train=False)
-    dec_vars = decoder.init(k2, jnp.zeros((batch_size, 256)), train=False)
-    spk_vars = speaker.init(k3, jnp.zeros((batch_size, 32000)))
+    # jitted inits: eager flax init dispatches per-op through the device
+    # tunnel (see cli/common.init_variables)
+    import functools
+
+    face_vars = jax.jit(functools.partial(face_net.init, train=False))(k1, faces)
+    dec_vars = jax.jit(functools.partial(decoder.init, train=False))(
+        k2, jnp.zeros((batch_size, 256))
+    )
+    spk_vars = jax.jit(speaker.init)(k3, jnp.zeros((batch_size, 32000)))
 
     params = {
         "face": face_vars["params"],

@@ -42,7 +42,13 @@ def init_critic(cfg: Config, rng: jax.Array, batch_size: int = 2):
     mel = jnp.zeros((batch_size, cfg.model.n_mels, cfg.data.max_mel_frames))
     spk = jnp.zeros((batch_size, cfg.model.face_embedding_dim))
     patch = sample_patch(rng, mel.shape[-1], cfg.model.discriminator_patch)
-    variables = disc.init(rng, mel, spk, patch, train=False)
+    # jitted init: eager flax init dispatches per-op through the device
+    # tunnel (see cli/common.init_variables)
+    import functools
+
+    variables = jax.jit(functools.partial(disc.init, train=False))(
+        rng, mel, spk, patch
+    )
     tx = optax.rmsprop(cfg.train.adversarial_critic_lr)  # standard WGAN critic
     return (
         disc,
