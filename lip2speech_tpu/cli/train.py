@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    help="config override, e.g. --override train.learning_rate=3e-4")
     p.add_argument("--train_split", default="train",
                    help="corpus split used for training (e.g. 'test' to overfit the bundled fixture)")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable the p=0.5 horizontal-flip FaceAugmentation "
+                        "(reference train.py:66-76 always augments; overfit "
+                        "runs memorize faster without it)")
     p.add_argument("--cache_decoded_gb", type=float, default=0.0,
                    help="in-memory decoded-clip cache budget (LRW only): "
                         "skips bz2+JPEG decode for clips that fit, so "
@@ -85,7 +89,10 @@ def train(args, cfg: Config | None = None) -> dict:
     eval_interval = args.eval_interval or tc.eval_interval
     log_interval = args.log_interval or tc.log_interval
 
-    ds_kw = {"augmentation": FaceAugmentation()}
+    ds_kw = {
+        "augmentation": None if getattr(args, "no_augment", False)
+        else FaceAugmentation()
+    }
     if getattr(args, "cache_decoded_gb", 0.0) and args.dataset.upper() == "LRW":
         ds_kw["cache_bytes"] = int(args.cache_decoded_gb * 2**30)
     ds = get_dataset(

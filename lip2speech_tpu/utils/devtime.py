@@ -43,12 +43,17 @@ def device_time(fn, *args, n: int = 20, repeats: int = 7) -> float:
     because anything cheaper (single-element update) still materializes
     a copy of the loop-invariant input, and leaving the input unperturbed
     lets XLA's while-loop invariant code motion hoist ``fn`` out of the
-    loop entirely. Interpretation rule: every measurement carries up to
-    ~+1 memory pass over the input, so for single-pass bandwidth-bound
-    ops (e.g. a plain concat used as a floor) the absolute number can be
-    inflated up to ~2x; *rankings among variants of the same input* are
-    unaffected because the bias is identical. The output may be any
-    pytree (the first leaf provides the chaining scalar).
+    loop entirely. The chaining scalar is the SUM over every float leaf
+    of the output — consuming only one element instead lets XLA dead-code
+    the rest of the op (computing a conv/GEMM's [0] element needs almost
+    none of it: an early revision of this protocol read the 139-GFLOP
+    front-end conv at 0.01 ms, 70x above the chip's peak, because only
+    out[0] survived DCE). Interpretation rule: every measurement carries
+    up to ~+1 memory pass over the input (perturb) and ~+1 over the
+    output (reduce-sum), so for single-pass bandwidth-bound ops (e.g. a
+    plain concat used as a floor) the absolute number can be inflated up
+    to ~2-3x; *rankings among variants of the same input/output shapes*
+    are unaffected because the bias is identical.
 
     Returns the RTT-free marginal cost: the loop runs with a dynamic
     trip count and each repeat times N and 2N back to back, so the
@@ -62,9 +67,14 @@ def device_time(fn, *args, n: int = 20, repeats: int = 7) -> float:
     def loop(trips, *a):
         def body(i, c):
             out = fn(a[0] + c.astype(a[0].dtype), *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            leaf = leaf if hasattr(leaf, "reshape") else jnp.asarray(leaf)
-            return leaf.reshape(-1)[0].astype(jnp.float32) * 1e-12
+            # consume EVERY float leaf fully: a full reduction defeats
+            # XLA's dead-code/slice-fusion shrinking of the measured op
+            s = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                leaf = leaf if hasattr(leaf, "dtype") else jnp.asarray(leaf)
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    s = s + jnp.sum(leaf, dtype=jnp.float32)
+            return s * 1e-12
 
         return jax.lax.fori_loop(0, trips, body, jnp.float32(0.0))
 
