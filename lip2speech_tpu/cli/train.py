@@ -65,6 +65,16 @@ def parse_args(argv=None):
                    help="disable the p=0.5 horizontal-flip FaceAugmentation "
                         "(reference train.py:66-76 always augments; overfit "
                         "runs memorize faster without it)")
+    p.add_argument("--reuse_first_batch", action="store_true",
+                   help="stage the first batch once and feed it to every "
+                        "step. Only sound when the whole training set fits "
+                        "in one batch with augmentation off (fixture "
+                        "overfits): the staged tensors are then identical "
+                        "every epoch, and per-step randomness (dropout/"
+                        "gumbel/teacher) still varies because the train "
+                        "step folds state.step into its rng. Removes the "
+                        "per-step decode+collate+transfer host work, which "
+                        "otherwise dominates small-batch runs on 1 core")
     p.add_argument("--cache_decoded_gb", type=float, default=0.0,
                    help="in-memory decoded-clip cache budget (LRW only): "
                         "skips bz2+JPEG decode for clips that fit, so "
@@ -165,6 +175,7 @@ def train(args, cfg: Config | None = None) -> dict:
 
     it = start_it
     last_saved_step = -1
+    staged_batch = None
     data_iter = iter(loader)
     t_step = time.time()
     for it in range(start_it, max_iters):
@@ -173,13 +184,24 @@ def train(args, cfg: Config | None = None) -> dict:
             tc.tf_ratio_start + tc.tf_ratio_step * (epoch // tc.tf_ratio_epochs),
             1.0,
         )
-        raw = next(data_iter)
-        batch = prepare_batch(
-            distribute_batch(raw, mesh),
-            cfg.audio,
-            cfg.data,
-        )
-        batch.pop("audio"), batch.pop("audio_lengths")
+        if staged_batch is None:
+            raw = next(data_iter)
+            batch = prepare_batch(
+                distribute_batch(raw, mesh),
+                cfg.audio,
+                cfg.data,
+            )
+            batch.pop("audio"), batch.pop("audio_lengths")
+            if getattr(args, "reuse_first_batch", False):
+                if len(ds) > batch_size:
+                    raise RuntimeError(
+                        "--reuse_first_batch requires the whole training set "
+                        f"to fit in one batch (len(ds)={len(ds)} > "
+                        f"batch_size={batch_size})"
+                    )
+                staged_batch = batch
+        else:
+            batch = staged_batch
         if critic is not None:
             state, critic, metrics = step_fn(
                 state, critic, batch, jnp.float32(tf_ratio), rng

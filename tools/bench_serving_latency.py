@@ -56,6 +56,48 @@ def scan_ar(cfg: ModelConfig, p, enc, bos):
     return outputs
 
 
+def full_pipeline_b1():
+    """Device-true B=1 video->waveform latency (VERDICT r3 item 7): the
+    chip's real serving capability with the tunnel RTT cancelled by the
+    devtime difference-quotient protocol, printed next to the
+    RTT-inclusive per-request rows so both are on record."""
+    import functools
+
+    from lip2speech_tpu.config import Config
+    from lip2speech_tpu.models import Lip2Speech
+    from lip2speech_tpu.ops import griffin_lim as gl_ops
+    from lip2speech_tpu.train.train_step import cast_floats
+    from lip2speech_tpu.utils.devtime import device_time
+
+    cfg = Config()
+    model = Lip2Speech(cfg.model)
+    bf = jnp.bfloat16
+    video = jax.random.normal(
+        jax.random.PRNGKey(0), (1, cfg.data.max_video_frames, *cfg.data.mouth_size, 3), bf
+    )
+    faces = jax.random.normal(
+        jax.random.PRNGKey(1), (1, cfg.data.n_face_crops, *cfg.data.face_size, 3), bf
+    )
+    rngs = {"gumbel": jax.random.PRNGKey(1)}
+    variables = cast_floats(
+        jax.jit(functools.partial(model.init, train=False))(
+            {"params": jax.random.PRNGKey(0)},
+            video, faces, jnp.zeros((1, 80, 8)), 0.5, None,
+            {**rngs, "teacher": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        ),
+        bf,
+    )
+    key = jax.random.PRNGKey(0)
+
+    def pipeline(video, faces, key):
+        out = model.apply(variables, video, faces, None, 1.0, None, rngs, train=False)
+        mel = out["mel_postnet"].astype(jnp.float32)[..., :80]
+        return gl_ops.mel_to_audio(mel, key, cfg.audio, n_iter=32, compute_dtype=bf)
+
+    ms = device_time(pipeline, video, faces, key, n=10) * 1e3
+    print(json.dumps({"device_true_full_pipeline_b1_ms": round(ms, 2)}), flush=True)
+
+
 def main():
     cfg = ModelConfig()
     model = Decoder(cfg)
@@ -131,6 +173,7 @@ def main():
             }
         )
     )
+    full_pipeline_b1()
 
 
 if __name__ == "__main__":
