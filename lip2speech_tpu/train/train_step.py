@@ -112,17 +112,18 @@ def create_train_state(
     )
 
 
-def train_step(
+def loss_and_grad(
     state: TrainState,
     batch: dict[str, jnp.ndarray],
     tf_ratio: jnp.ndarray,
     rng: jax.Array,
     cfg: Config,
     model: Lip2Speech,
-    tx: optax.GradientTransformation,
 ):
-    """One optimization step. ``batch`` keys: video (B,T,H,W,3),
-    faces (B,2,160,160,3), mel (B,80,M), gate (B,M), mel_mask (B,M)."""
+    """Forward + loss dict + gradients, exactly as the train step computes
+    them (factored out so diagnostics — e.g. ``tools/diagnose_nan.py``'s
+    per-leaf nonfinite localization — probe the *same* computation the
+    optimizer sees)."""
     step_rng = jax.random.fold_in(rng, state.step)
     names = ["gumbel", "teacher", "dropout", "postnet_dropout", "encoder_dropout"]
     keys = dict(zip(names, jax.random.split(step_rng, len(names))))
@@ -172,6 +173,21 @@ def train_step(
     (loss, (losses, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
+    return losses, new_stats, grads
+
+
+def train_step(
+    state: TrainState,
+    batch: dict[str, jnp.ndarray],
+    tf_ratio: jnp.ndarray,
+    rng: jax.Array,
+    cfg: Config,
+    model: Lip2Speech,
+    tx: optax.GradientTransformation,
+):
+    """One optimization step. ``batch`` keys: video (B,T,H,W,3),
+    faces (B,2,160,160,3), mel (B,80,M), gate (B,M), mel_mask (B,M)."""
+    losses, new_stats, grads = loss_and_grad(state, batch, tf_ratio, rng, cfg, model)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
