@@ -192,6 +192,52 @@ def main():
     train_clips_per_sec, mfu_train, train_flops = measure_train(BATCH)
     train_recipe_clips_per_sec, _, _ = measure_train(TRAIN_BATCH)
 
+    # ---------------- sustained train WITH the real input pipeline ------
+    # VERDICT r3 item 3: the step-only numbers above feed from pre-staged
+    # device tensors; this measures the production path (threaded Loader
+    # with the decoded-clip cache -> collate -> device put -> prepare_batch
+    # -> step) in steady state. Guarded: bench must still emit its line on
+    # a host without the LRW fixture.
+    sustained_train_clips_per_sec = None
+    try:
+        import os as _os
+
+        _fixture = "/root/reference/Datasets/SAMPLE_LRW"
+        if _os.path.isdir(_fixture):
+            from lip2speech_tpu.data import LRW, Loader, prepare_batch
+            from lip2speech_tpu.parallel import auto_mesh, distribute_batch
+            from lip2speech_tpu.train.train_step import make_train_step
+
+            ds = LRW(_fixture, mode="test", cfg=cfg.data, cache_bytes=2**32)
+            loader = Loader(
+                ds, TRAIN_BATCH, cfg.data, shuffle=True, infinite=True,
+                num_workers=min(TRAIN_BATCH, _os.cpu_count() or 8), seed=0,
+            )
+            mesh = auto_mesh(TRAIN_BATCH, 1)
+            sstate = create_train_state(cfg, variables)
+            step_fn = make_train_step(cfg, model, tx)
+            srng = jax.random.PRNGKey(0)
+            it_ = iter(loader)
+
+            def one_step(state):
+                raw = next(it_)
+                sb = prepare_batch(distribute_batch(raw, mesh), cfg.audio, cfg.data)
+                sb.pop("audio"), sb.pop("audio_lengths")
+                return step_fn(state, sb, tf, srng)
+
+            for _ in range(6):  # compile + fill the decoded cache
+                sstate, sm = one_step(sstate)
+            float(sm["total"])
+            t0 = time.time()
+            for _ in range(TRAIN_ITERS * 4):
+                sstate, sm = one_step(sstate)
+            float(sm["total"])
+            sustained_train_clips_per_sec = round(
+                TRAIN_BATCH * TRAIN_ITERS * 4 / (time.time() - t0), 2
+            )
+    except Exception as e:  # noqa: BLE001 — never lose the bench line
+        print(f"sustained-train measurement skipped: {e!r}", flush=True)
+
     print(
         json.dumps(
             {
@@ -202,6 +248,7 @@ def main():
                 "clips_per_sec_synced": round(clips_per_sec_synced, 2),
                 "train_clips_per_sec": round(train_clips_per_sec, 2),
                 "train_recipe_clips_per_sec": round(train_recipe_clips_per_sec, 2),
+                "sustained_train_clips_per_sec": sustained_train_clips_per_sec,
                 "mfu_inference": round(mfu_inference, 4),
                 "mfu_train": round(mfu_train, 4),
                 "inference_tflops": round(inf_flops / 1e12, 3),

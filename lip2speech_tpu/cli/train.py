@@ -75,6 +75,21 @@ def parse_args(argv=None):
                         "step folds state.step into its rng. Removes the "
                         "per-step decode+collate+transfer host work, which "
                         "otherwise dominates small-batch runs on 1 core")
+    p.add_argument("--rewind_on_stall", type=int, default=0,
+                   help="divergence rewind: when this many CONSECUTIVE "
+                        "optimizer steps have been rejected (nonfinite or "
+                        "train.reject_grad_norm_above), restore the newest "
+                        "rolling safety checkpoint, reseed the step RNG "
+                        "stream, and continue. Observed failure mode this "
+                        "answers (runs/overfit_r4f): once params enter a "
+                        "high-curvature region every gradient is huge, so "
+                        "skip-based guards freeze the run forever — only "
+                        "rewinding to a pre-divergence state with a "
+                        "different noise stream escapes. 0 = off")
+    p.add_argument("--rewind_lr_decay", type=float, default=1.0,
+                   help="multiply the learning rate by this on every "
+                        "rewind (1.0 = keep; <1 costs a re-jit)")
+    p.add_argument("--max_rewinds", type=int, default=25)
     p.add_argument("--cache_decoded_gb", type=float, default=0.0,
                    help="in-memory decoded-clip cache budget (LRW only): "
                         "skips bz2+JPEG decode for clips that fit, so "
@@ -130,17 +145,20 @@ def train(args, cfg: Config | None = None) -> dict:
     tp_specs = partition_params(state.params, mesh, args.model_parallel > 1)
     state = shard_train_state(state, mesh, tp_specs, tx)
 
-    start_it, best_score = 0, -1.0
-    restored = ckpt.restore_checkpoint(args.ckpt_dir, template=state)
-    if restored is not None:
-        payload, extra = restored
+    def adopt(payload):
         # restore INTO the live shardings (TP specs included)
-        state = state._replace(
+        return state._replace(
             step=jax.device_put(jnp.asarray(payload["step"]), replicated(mesh)),
             params=shard_like(payload["params"], state.params),
             batch_stats=shard_like(payload["batch_stats"], state.batch_stats),
             opt_state=shard_like(payload["opt_state"], state.opt_state),
         )
+
+    start_it, best_score = 0, -1.0
+    restored = ckpt.restore_checkpoint(args.ckpt_dir, template=state)
+    if restored is not None:
+        payload, extra = restored
+        state = adopt(payload)
         start_it = int(payload["step"])
         best_score = float(extra.get("best_score", -1.0))
         print(f"resumed at step {start_it} (best ESTOI {best_score:.4f})")
@@ -178,6 +196,58 @@ def train(args, cfg: Config | None = None) -> dict:
     staged_batch = None
     data_iter = iter(loader)
     t_step = time.time()
+
+    # divergence-rewind machinery (--rewind_on_stall): rolling safety
+    # checkpoints + restore-and-reseed when every step is being rejected
+    safety_dir = os.path.join(args.ckpt_dir, "safety")
+    rewinds, rewind_depth, last_rewind_it, last_consec = 0, 0, -1, 0.0
+    if args.rewind_on_stall:
+        if not ckpt.available_steps(safety_dir):
+            ckpt.save_checkpoint(safety_dir, max(start_it, 0), state,
+                                 {"best_score": best_score})
+
+    def do_rewind():
+        nonlocal state, rng, rewinds, rewind_depth, step_fn, tx, cfg
+        nonlocal last_rewind_it
+        steps = ckpt.available_steps(safety_dir)
+        if not steps:
+            raise RuntimeError("rewind requested but no safety checkpoint")
+        # repeated stalls walk back to progressively older safety saves
+        target = steps[max(len(steps) - 1 - rewind_depth, 0)]
+        payload, _ = ckpt.restore_checkpoint(safety_dir, template=state,
+                                             step=target)
+        state = adopt(payload)
+        rewinds += 1
+        rewind_depth += 1
+        last_rewind_it = it
+        # a different noise stream (dropout/gumbel/teacher draws) is the
+        # escape: with the same stream the replay is deterministic and
+        # walks straight back into the stall
+        rng2 = jax.random.fold_in(jax.random.PRNGKey(tc.seed), 7919 + rewinds)
+        if args.rewind_lr_decay != 1.0:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, train=_dc.replace(
+                cfg.train,
+                learning_rate=cfg.train.learning_rate * args.rewind_lr_decay,
+            ))
+            tx = make_optimizer(cfg, state.params)
+            if critic is not None:
+                from lip2speech_tpu.train.adversarial import (
+                    make_adversarial_train_step,
+                )
+
+                step_fn = make_adversarial_train_step(
+                    cfg, model, tx, disc, critic_tx
+                )
+            else:
+                step_fn = make_train_step(cfg, model, tx)  # re-jit (rare)
+        print(f"[{it + 1}] REWIND #{rewinds}: {last_consec:.0f} consecutive "
+              f"rejected steps; restored safety step {target}, lr "
+              f"{cfg.train.learning_rate:.2e}, new rng stream")
+        logger.scalars(it + 1, {"rewind": float(rewinds),
+                                "rewind_target": float(target)})
+        return rng2
     for it in range(start_it, max_iters):
         epoch = it // steps_per_epoch
         tf_ratio = min(
@@ -223,6 +293,14 @@ def train(args, cfg: Config | None = None) -> dict:
             metrics["epoch"] = epoch
             logger.scalars(it + 1, metrics)
             logger.console(it + 1, metrics, total_steps=max_iters)
+            last_consec = metrics.get("notfinite_count", 0.0)
+            if (
+                args.rewind_on_stall
+                and last_consec >= args.rewind_on_stall
+                and rewinds < args.max_rewinds
+            ):
+                rng = do_rewind()
+                last_consec = 0.0
 
         if (it + 1) % eval_interval == 0:
             eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
@@ -242,6 +320,14 @@ def train(args, cfg: Config | None = None) -> dict:
                     args.ckpt_dir, it + 1, state, {"best_score": best_score}
                 )
                 last_saved_step = it + 1
+            if args.rewind_on_stall and last_consec == 0.0:
+                # rolling safety save for divergence rewind — only from a
+                # healthy step (the last logged one was not rejected)
+                ckpt.save_checkpoint(safety_dir, it + 1, state,
+                                     {"best_score": best_score})
+                ckpt.prune_checkpoints(safety_dir, keep=5)
+                if it - last_rewind_it >= eval_interval:
+                    rewind_depth = 0  # survived a full window: reset walkback
 
     # final unconditional save (train.py:249-251) — skip if the eval gate
     # already saved this exact step

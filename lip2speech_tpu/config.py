@@ -74,6 +74,12 @@ class ModelConfig:
     postnet_dropout: float = 0.5
     # Positional tables (decoder.py:33,318)
     max_encoder_positions: int = 200
+    # Long-horizon AR training stabilizer (no reference counterpart): when
+    # > 0, each AR-scan step clips the carry's *gradient* to this L2 norm
+    # (layers.clip_grad_norm) so BPTT through the recurrence cannot
+    # compound into overflow. Forward semantics unchanged; default off
+    # preserves reference-parity gradients.
+    scan_grad_clip: float = 0.0
     # Discriminator (model/modules/discriminator.py:43-97)
     discriminator_patch: int = 32  # static upper bound of the 7..31 patch
     # Speaker (voice) encoder (model/modules/audio.py:110-129)
@@ -137,6 +143,17 @@ class TrainConfig:
     skip_nonfinite_updates: bool = True
     # consecutive non-finite steps tolerated before optax gives up
     max_consecutive_nonfinite: int = 100
+    # Reject (skip, exactly like a nonfinite step) any update whose
+    # pre-clip global gradient norm exceeds this value. 0 = off
+    # (reference parity: torch clip_grad_norm_ rescales huge-but-finite
+    # gradients to norm grad_clip and APPLIES them, train.py:187-191).
+    # Observed on hardware (runs/overfit_r4d/e): healthy fixture-overfit
+    # norms stay <= ~5e3; sporadic spikes of 1e5..5e8 — finite, so
+    # apply_if_finite passes them — get clipped to norm 1.0 but keep the
+    # garbage *direction*, and a handful of them collapses the content
+    # branch irrecoverably (KLD pins at ln(501)). Rejection keeps params
+    # and BN stats at last-good instead. Implies apply_if_finite.
+    reject_grad_norm_above: float = 0.0
     # WGAN adversarial mode (--override train.adversarial=True): each
     # iteration updates the mel-patch critic (rmsprop + weight clamp) and
     # adds the generator terms (-D(fake) + 10x L1 feature matching) to the

@@ -45,6 +45,7 @@ from lip2speech_tpu.models.layers import (
     LinearNorm,
     PSine,
     batch_norm,
+    clip_grad_norm,
     lstm_cell_step,
     positional_encoding,
     xavier_uniform_gain,
@@ -240,6 +241,13 @@ def _build_step(cfg: ModelConfig, p, enc, train, tf_ratio, tf_budget):
         h, cc, ys, consumed = carry
         teacher_frame, pos_i, rand_i, key_i = xs
         k1, k2, k3 = jax.random.split(key_i, 3)
+
+        if cfg.scan_grad_clip > 0.0:
+            # bound the backward gain per scan step (see
+            # layers.clip_grad_norm); forward values pass through exactly
+            h = clip_grad_norm(h, cfg.scan_grad_clip)
+            cc = clip_grad_norm(cc, cfg.scan_grad_clip)
+            ys = clip_grad_norm(ys, cfg.scan_grad_clip)
 
         # mixed teacher forcing (decoder.py:355-357)
         use_teacher = jnp.logical_and(rand_i > tf_ratio, consumed < tf_budget)

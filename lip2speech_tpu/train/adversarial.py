@@ -226,6 +226,9 @@ def adversarial_train_step(
     (loss, (losses, new_stats, fake_mel, spk)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
+    from lip2speech_tpu.train.train_step import guard_batch_stats
+
+    new_stats = guard_batch_stats(cfg, grads, new_stats, state.batch_stats)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = _optax.apply_updates(state.params, updates)
@@ -237,8 +240,11 @@ def adversarial_train_step(
     metrics = dict(losses)
     metrics["d_loss"] = d_loss
     metrics["grad_norm"] = _optax.global_norm(grads)
-    if hasattr(new_opt_state, "notfinite_count"):
-        metrics["notfinite_count"] = new_opt_state.notfinite_count
+    from lip2speech_tpu.train.train_step import _find_notfinite_count
+
+    nfc = _find_notfinite_count(new_opt_state)
+    if nfc is not None:
+        metrics["notfinite_count"] = nfc
 
     return (
         TrainState(state.step + 1, new_params, new_stats, new_opt_state),

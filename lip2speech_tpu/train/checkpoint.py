@@ -353,6 +353,31 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None):
         ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), payload, force=True)
 
 
+def available_steps(ckpt_dir: str) -> list[int]:
+    """Sorted finalized checkpoint steps under ``ckpt_dir`` (skips orbax
+    ``*-tmp-*`` leftovers of interrupted saves)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(
+        int(d[len("step_") :])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and d[len("step_") :].isdigit()
+    )
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete the oldest finalized checkpoints, keeping the newest ``keep``
+    (rolling safety saves for divergence rewind, cli/train.py)."""
+    import shutil
+
+    for s in available_steps(ckpt_dir)[:-keep]:
+        shutil.rmtree(
+            os.path.join(os.path.abspath(ckpt_dir), f"step_{s}"),
+            ignore_errors=True,
+        )
+
+
 def _fresh_if_finite_wrapper(inner_state):
     """A freshly-initialized optax ApplyIfFiniteState around
     ``inner_state`` (counters zeroed, last update assumed finite)."""
@@ -366,8 +391,10 @@ def _fresh_if_finite_wrapper(inner_state):
     )
 
 
-def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
-    """Restore the newest checkpoint. Pass ``template`` (a TrainState-like
+def restore_checkpoint(
+    ckpt_dir: str, template=None, step: int | None = None
+) -> tuple[Any, dict] | None:
+    """Restore the newest checkpoint (or ``step`` exactly, if given). Pass ``template`` (a TrainState-like
     object with the target pytree structure, e.g. a freshly created state)
     to get the optax NamedTuple structure back; without it, raw dicts.
 
@@ -396,7 +423,9 @@ def restore_checkpoint(ckpt_dir: str, template=None) -> tuple[Any, dict] | None:
     ]
     if not steps:
         return None
-    path = os.path.join(ckpt_dir, f"step_{max(steps)}")
+    if step is not None and step not in steps:
+        return None
+    path = os.path.join(ckpt_dir, f"step_{max(steps) if step is None else step}")
     with ocp.StandardCheckpointer() as ckptr:
         if template is None:
             payload = ckptr.restore(path)

@@ -72,6 +72,28 @@ def trainable_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def reject_above_norm(threshold: float) -> optax.GradientTransformation:
+    """NaN-ify the whole update when its global norm exceeds ``threshold``.
+
+    Chained in front of ``optax.apply_if_finite`` this turns a
+    huge-but-finite gradient spike into a *skipped* step (params, optimizer
+    moments and — via ``guard_batch_stats``'s matching predicate — BN
+    running stats all stay at last-good) instead of a norm-``grad_clip``
+    step in a garbage direction. See ``TrainConfig.reject_grad_norm_above``
+    for the observed failure mode this prevents."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        ok = norm <= threshold  # False for NaN/Inf norms too
+        updates = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.asarray(jnp.nan, g.dtype)), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     """AdamW(amsgrad) + global-norm clip, frozen branches zeroed
     (train.py:88,102-104: AdamW(lr 1e-4, wd 1e-6, amsgrad) + clip 1.0)."""
@@ -86,11 +108,18 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
         {"train": adamw_amsgrad, "freeze": optax.set_to_zero()},
         jax.tree.map(lambda t: "train" if t else "freeze", mask),
     )
-    if cfg.train.skip_nonfinite_updates:
+    reject = cfg.train.reject_grad_norm_above
+    if cfg.train.skip_nonfinite_updates or reject > 0.0:
         # apex-overflow-skip equivalent: a NaN/Inf gradient would poison
         # clip_by_global_norm and corrupt params permanently; reject the
-        # update instead (reference train.py:188-196)
+        # update instead (reference train.py:188-196). reject_above_norm
+        # relies on this wrapper to convert its NaNs into a skip (and to
+        # keep them out of the Adam moments), so it forces the wrapper on.
         tx = optax.apply_if_finite(tx, cfg.train.max_consecutive_nonfinite)
+    if reject > 0.0:
+        # order matters: the rejector must run BEFORE apply_if_finite so
+        # the NaN-ified spike is skipped instead of fed to the inner chain
+        tx = optax.chain(reject_above_norm(reject), tx)
     return tx
 
 
@@ -176,6 +205,54 @@ def loss_and_grad(
     return losses, new_stats, grads
 
 
+def all_finite(tree: Any) -> jnp.ndarray:
+    """Scalar bool: every floating leaf of ``tree`` is finite."""
+    checks = [
+        jnp.all(jnp.isfinite(x))
+        for x in jax.tree.leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    return functools.reduce(jnp.logical_and, checks, jnp.asarray(True))
+
+
+def guard_batch_stats(
+    cfg: Config, grads: Any, new_stats: Any, old_stats: Any
+) -> Any:
+    """Reject the running-BN-stats update when the step is rejected.
+
+    ``optax.apply_if_finite`` guards only the *parameter* update; the
+    batch_stats come out of the forward pass and were written back
+    unconditionally, so a single nonfinite batch poisoned the running
+    stats permanently even while every param update was being rejected
+    (observed on hardware: runs/overfit_r4c went irrecoverably NaN while
+    notfinite_count climbed). Keep the old stats under the same predicate
+    the optimizer uses, plus finiteness of the stats themselves."""
+    reject = cfg.train.reject_grad_norm_above
+    if not (cfg.train.skip_nonfinite_updates or reject > 0.0):
+        return new_stats
+    ok = jnp.logical_and(all_finite(grads), all_finite(new_stats))
+    if reject > 0.0:
+        # mirror reject_above_norm: a rejected step must not advance the
+        # BN running stats either
+        ok = jnp.logical_and(ok, optax.global_norm(grads) <= reject)
+    return jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_stats, old_stats
+    )
+
+
+def _find_notfinite_count(opt_state):
+    """Locate the ApplyIfFiniteState counter anywhere in the (possibly
+    chain-nested, when reject_grad_norm_above wraps it) optimizer state."""
+    if hasattr(opt_state, "notfinite_count"):
+        return opt_state.notfinite_count
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            found = _find_notfinite_count(s)
+            if found is not None:
+                return found
+    return None
+
+
 def train_step(
     state: TrainState,
     batch: dict[str, jnp.ndarray],
@@ -188,14 +265,16 @@ def train_step(
     """One optimization step. ``batch`` keys: video (B,T,H,W,3),
     faces (B,2,160,160,3), mel (B,80,M), gate (B,M), mel_mask (B,M)."""
     losses, new_stats, grads = loss_and_grad(state, batch, tf_ratio, rng, cfg, model)
+    new_stats = guard_batch_stats(cfg, grads, new_stats, state.batch_stats)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
     metrics = dict(losses)
     metrics["grad_norm"] = optax.global_norm(grads)
-    if hasattr(new_opt_state, "notfinite_count"):
-        metrics["notfinite_count"] = new_opt_state.notfinite_count
+    nfc = _find_notfinite_count(new_opt_state)
+    if nfc is not None:
+        metrics["notfinite_count"] = nfc
 
     return (
         TrainState(state.step + 1, new_params, new_stats, new_opt_state),

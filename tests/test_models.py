@@ -172,3 +172,65 @@ def test_lip2speech_end_to_end_tiny():
         vars_, video, None, None, 1.0, spk, rngs, train=False
     )
     assert out_inf["mel_postnet"].shape == (1, 80, cfg.max_decoder_steps)
+
+
+def test_clip_grad_norm_semantics():
+    """layers.clip_grad_norm: identity forward; backward rescales only
+    cotangents whose L2 norm exceeds the limit; nonfinite cotangents pass
+    through for the optimizer-level guard to reject."""
+    from lip2speech_tpu.models.layers import clip_grad_norm
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16,)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(clip_grad_norm(x, 1.0)), np.asarray(x))
+
+    def f(x, scale):
+        return jnp.sum(clip_grad_norm(x, 1.0) * scale)
+
+    # below the limit: untouched (grad = scale * ones, norm = 0.4)
+    g_small = jax.grad(f)(x, jnp.float32(0.1))
+    np.testing.assert_allclose(np.asarray(g_small), 0.1, rtol=1e-6)
+    # above the limit: rescaled to exactly limit norm, direction kept
+    g_big = jax.grad(f)(x, jnp.float32(100.0))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(g_big)), 1.0, rtol=1e-5)
+    assert (np.asarray(g_big) > 0).all()
+    # nonfinite norm: passes through untouched
+    g_inf = jax.grad(f)(x, jnp.float32(np.inf))
+    assert not np.isfinite(np.asarray(g_inf)).any()
+
+
+def test_clip_grad_norm_bounds_scan_bptt():
+    """Through an exploding recurrence (gain 3, 40 steps -> 3^40 ~ 1e19
+    unclipped), the per-step carry clip keeps the BPTT gradient bounded.
+    This is the stabilizer for the hardware-observed decoder-scan overflow
+    (max|grad| 5.6 -> 3e34 in ~6 optimizer steps; tools/diagnose_nan.py)."""
+    from lip2speech_tpu.models.layers import clip_grad_norm
+
+    w = jnp.float32(1.5)
+
+    def run(x0, clip):
+        def step(c, _):
+            if clip:
+                c = clip_grad_norm(c, 1.0)
+            return c * w, ()
+
+        c, _ = jax.lax.scan(step, x0, None, length=40)
+        return jnp.sum(c)
+
+    x0 = jnp.full((4,), 1e-5, jnp.float32)
+    g_unclipped = np.linalg.norm(np.asarray(jax.grad(run)(x0, False)))
+    g_clipped = np.linalg.norm(np.asarray(jax.grad(run)(x0, True)))
+    assert g_unclipped > 1e6  # w^40 ~ 1.1e7: explosive without the stabilizer
+    assert g_clipped <= 1.0 + 1e-4  # the step-0 clip is the last backward op
+
+
+def test_decoder_scan_grad_clip_forward_exact(decoder_vars):
+    """scan_grad_clip must not change forward values at all (it only edits
+    the backward): teacher-forced outputs are bit-identical on/off."""
+    import dataclasses
+
+    model, vars_, enc, face, mels, rngs = decoder_vars
+    clipped = Decoder(dataclasses.replace(CFG, scan_grad_clip=1.0))
+    out_off = model.apply(vars_, enc, face, mels, 0.5, rngs, train=False)
+    out_on = clipped.apply(vars_, enc, face, mels, 0.5, rngs, train=False)
+    for k in ("mel", "mel_postnet", "gate", "attention"):
+        np.testing.assert_array_equal(np.asarray(out_off[k]), np.asarray(out_on[k]))

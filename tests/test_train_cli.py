@@ -189,3 +189,49 @@ def test_train_cli_adversarial_knob(roots, tmp_path):
 
     assert all(np.isfinite(r["d_loss"]) for r in step_rows)
     assert all(np.isfinite(r["g_loss"]) for r in step_rows)
+
+
+@pytest.mark.slow
+def test_train_cli_rewind_on_stall(roots, tmp_path):
+    """--rewind_on_stall: when every optimizer step is being rejected (here
+    forced with an impossibly low reject_grad_norm_above), the loop must
+    restore the rolling safety checkpoint, reseed, continue, and respect
+    --max_rewinds. This is the divergence-rewind path that rescued the
+    round-4 fixture overfit (runs/overfit_r4f froze forever without it)."""
+    import dataclasses
+    import json
+
+    from lip2speech_tpu.cli import train as train_cli
+
+    cfg = Config(model=TINY_MODEL)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, reject_grad_norm_above=1e-12, bf16=False
+        ),
+    )
+    run_dir = str(tmp_path / "run_rw")
+    args = train_cli.parse_args(
+        [
+            "--root", roots,
+            "--batch_size", "2",
+            "--max_iters", "6",
+            "--eval_interval", "100",
+            "--log_interval", "1",
+            "--run_dir", run_dir,
+            "--ckpt_dir", str(tmp_path / "ckpt_rw"),
+            "--rewind_on_stall", "2",
+            "--max_rewinds", "2",
+        ]
+    )
+    result = train_cli.train(args, cfg)
+    assert result["final_step"] == 6
+    rows = [json.loads(line) for line in open(os.path.join(run_dir, "metrics.jsonl"))]
+    rewind_rows = [r for r in rows if "rewind" in r]
+    assert len(rewind_rows) == 2, rewind_rows  # fired, then capped
+    # both rewinds restored the initial (step-0) safety save
+    assert all(r["rewind_target"] == 0.0 for r in rewind_rows)
+    # every step was rejected, so params must never have moved: the step-0
+    # safety checkpoint and the loop's survival are the whole story
+    step_rows = [r for r in rows if "notfinite_count" in r]
+    assert step_rows[-1]["notfinite_count"] >= 1.0

@@ -462,3 +462,113 @@ def test_nonfinite_grads_skip_update(setup):
     assert int(metrics["notfinite_count"]) == 0
     moved = np.abs(np.asarray(jax.tree.leaves(state.params["decoder"])[0]) - after)
     assert moved.max() > 0
+
+
+def test_nonfinite_forward_skips_batch_stats(setup):
+    """A batch whose *forward pass* is nonfinite must leave the running BN
+    stats untouched: apply_if_finite guards params only, and the stats were
+    written back unconditionally — one bad batch poisoned them permanently
+    while every subsequent param update was rejected (observed on hardware:
+    runs/overfit_r4c went irrecoverably NaN with notfinite_count climbing)."""
+    model, variables, batch = setup
+    cfg = dataclasses.replace(CFG, train=dataclasses.replace(CFG.train, bf16=False))
+    fresh = _fresh(variables)
+    tx = make_optimizer(cfg, fresh["params"])
+    state = create_train_state(cfg, fresh)
+    step = make_train_step(cfg, model, tx)
+
+    bad = dict(batch)
+    # NaN video poisons the encoder's BatchNorm batch means/vars directly
+    bad["video"] = batch["video"].at[0, 0, 0, 0, 0].set(jnp.nan)
+    stats_before = jax.tree.map(np.asarray, state.batch_stats)
+    state, metrics = step(state, bad, jnp.float32(0.5), jax.random.PRNGKey(0))
+    assert not np.isfinite(float(metrics["total"]))
+    for old, new in zip(
+        jax.tree.leaves(stats_before), jax.tree.leaves(state.batch_stats)
+    ):
+        np.testing.assert_array_equal(old, np.asarray(new))
+
+    # a clean batch afterwards must both update params and advance stats
+    state, metrics = step(state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree.leaves(state.batch_stats)
+    )
+    changed = any(
+        np.abs(np.asarray(new) - old).max() > 0
+        for old, new in zip(
+            jax.tree.leaves(stats_before), jax.tree.leaves(state.batch_stats)
+        )
+    )
+    assert changed
+
+
+def test_reject_grad_norm_above_optimizer_level():
+    """A huge-but-finite gradient is skipped exactly like a nonfinite one
+    when train.reject_grad_norm_above is set (observed on hardware,
+    runs/overfit_r4d/e: finite norm spikes of 1e5..5e8 pass apply_if_finite,
+    get clipped to norm 1.0 and applied — and a handful of those
+    garbage-direction steps collapses the content branch irrecoverably)."""
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, reject_grad_norm_above=10.0)
+    )
+    params = {"encoder": {"w": jnp.zeros((4,))}}
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    from lip2speech_tpu.train.train_step import _find_notfinite_count
+
+    huge = {"encoder": {"w": jnp.full((4,), 1e6)}}  # norm 2e6 > 10, finite
+    updates, opt_state = tx.update(huge, opt_state, params)
+    assert all(np.all(np.asarray(u) == 0) for u in jax.tree.leaves(updates))
+    assert int(_find_notfinite_count(opt_state)) == 1
+
+    ok = {"encoder": {"w": jnp.ones((4,))}}  # norm 2 <= 10
+    updates, opt_state = tx.update(ok, opt_state, params)
+    assert int(_find_notfinite_count(opt_state)) == 0
+    assert max(np.abs(np.asarray(u)).max() for u in jax.tree.leaves(updates)) > 0
+
+
+def test_reject_grad_norm_above_full_step(setup):
+    """End-to-end: a batch engineered to produce finite-but-huge gradients
+    must leave params AND batch_stats untouched, and a normal batch
+    afterwards must train."""
+    model, variables, batch = setup
+    cfg = dataclasses.replace(
+        CFG,
+        train=dataclasses.replace(
+            CFG.train, bf16=False, reject_grad_norm_above=1e4
+        ),
+    )
+    fresh = _fresh(variables)
+    tx = make_optimizer(cfg, fresh["params"])
+    state = create_train_state(cfg, fresh)
+    step = make_train_step(cfg, model, tx)
+
+    bad = dict(batch)
+    bad["mel"] = batch["mel"] * 1e4  # MSE grads blow up but stay finite
+    before = jax.tree.map(np.asarray, state.params["decoder"])
+    stats_before = jax.tree.map(np.asarray, state.batch_stats)
+    state, metrics = step(state, bad, jnp.float32(0.5), jax.random.PRNGKey(0))
+    gn = float(metrics["grad_norm"])
+    assert np.isfinite(gn) and gn > 1e4, gn  # exercising the norm path
+    assert int(metrics["notfinite_count"]) == 1
+    for old, new in zip(
+        jax.tree.leaves(before), jax.tree.leaves(state.params["decoder"])
+    ):
+        np.testing.assert_array_equal(old, np.asarray(new))
+    for old, new in zip(
+        jax.tree.leaves(stats_before), jax.tree.leaves(state.batch_stats)
+    ):
+        np.testing.assert_array_equal(old, np.asarray(new))
+
+    state, metrics = step(state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(1))
+    assert int(metrics["notfinite_count"]) == 0
+    moved = max(
+        np.abs(np.asarray(new) - old).max()
+        for old, new in zip(
+            jax.tree.leaves(before), jax.tree.leaves(state.params["decoder"])
+        )
+    )
+    assert moved > 0

@@ -77,30 +77,49 @@ def main():
 
     @jax.jit
     def grad_stats(state, batch, tf_ratio, rng):
-        losses, _, grads = loss_and_grad(state, batch, tf_ratio, rng, cfg, model)
+        losses, new_stats, grads = loss_and_grad(
+            state, batch, tf_ratio, rng, cfg, model
+        )
         flat = jax.tree_util.tree_flatten_with_path(grads)[0]
         bad = jnp.stack([jnp.sum(~jnp.isfinite(g)) for _, g in flat])
         mx = jnp.stack([jnp.max(jnp.abs(g)) for _, g in flat])
-        return losses["total"], bad, mx
+        # batch_stats are written back UNCONDITIONALLY by train_step —
+        # apply_if_finite guards params only, so a nonfinite running stat
+        # is the poisoning path (observed: runs/overfit_r4c went fully NaN)
+        stats_bad = jnp.stack(
+            [
+                jnp.sum(~jnp.isfinite(s))
+                for _, s in jax.tree_util.tree_flatten_with_path(new_stats)[0]
+            ]
+        )
+        return losses["total"], bad, mx, stats_bad
 
     names = [
         leaf_name(p)
         for p, _ in jax.tree_util.tree_flatten_with_path(state.params)[0]
     ]
+    stat_names = [
+        leaf_name(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(state.batch_stats)[0]
+    ]
     rng = jax.random.PRNGKey(cfg.train.seed)
     tf_ratio = jnp.float32(args.tf_ratio)
     prev_top = []
+    print("setup done; compiling grad_stats...", flush=True)
     for it in range(args.steps):
         if it % args.check_every == 0:
-            total, bad, mx = jax.device_get(
+            total, bad, mx, stats_bad = jax.device_get(
                 grad_stats(state, batch, tf_ratio, rng)
             )
             top = sorted(zip(names, mx), key=lambda t: -t[1])[:20]
-            if bad.sum() > 0:
-                print(f"\n=== step {it}: NONFINITE GRADS (loss={total:.3f}) ===")
+            if bad.sum() > 0 or stats_bad.sum() > 0:
+                print(f"\n=== step {it}: NONFINITE (loss={total:.3f}) ===")
                 for n, b, m in zip(names, bad, mx):
                     if b:
-                        print(f"  {n}: {int(b)} nonfinite, max|g|={m:.3e}")
+                        print(f"  grad {n}: {int(b)} nonfinite, max|g|={m:.3e}")
+                for n, b in zip(stat_names, stats_bad):
+                    if b:
+                        print(f"  batch_stat {n}: {int(b)} nonfinite")
                 print("\ntop-20 |grad| leaves of previous finite step:")
                 for n, m in prev_top:
                     print(f"  {n}: {m:.3e}")
