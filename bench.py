@@ -1,15 +1,33 @@
-"""End-of-round benchmark. Prints ONE JSON line.
+"""End-of-round benchmark. Prints ONE final JSON line (plus an early
+partial line as soon as the headline number exists — see "timeout
+proofing" below).
 
 Primary metric: full LRW inference throughput on one chip — silent video +
 face crop -> 300-step AR mel decode -> NNLS mel inversion + 32-iter
 matmul-DFT Griffin-Lim waveform — the reference demo/eval hot path end to
 end on device, bf16 model compute. Also reported (VERDICT r1 item 5):
 
-* ``train_clips_per_sec`` — full jitted train step (fwd+bwd+AdamW) at the
-  bench batch; ``train_recipe_clips_per_sec`` at the reference recipe
-  batch (64, hparams.py:79)
+* ``train_recipe_clips_per_sec`` — full jitted train step (fwd+bwd+AdamW)
+  at the reference recipe batch (64, hparams.py:79);
+  ``train_clips_per_sec`` at the bench batch (256) when budget allows
 * ``mfu_inference`` / ``mfu_train`` — model FLOP utilization: compiled HLO
   flops (XLA cost analysis) / measured time / chip peak bf16 FLOPs.
+
+Timeout proofing (VERDICT r4: BENCH_r04 was rc 124 / parsed null because
+four cold-cache compiles ran serially with no internal budget and nothing
+was printed until the very end):
+
+* every section is gated on an internal deadline (``BENCH_DEADLINE_S``,
+  default 900 s — set it below the driver's kill timeout); sections that
+  don't fit are skipped and their fields emitted as null
+* a ``signal.alarm`` at the deadline force-emits whatever has been
+  measured even if a single compile hangs past it
+* the headline JSON line is printed (flushed) the moment the inference
+  number exists; the complete line is printed again at the end — both are
+  valid result lines, the last one wins
+* progress notes go to stderr with elapsed timestamps
+* section order is value order: inference (headline) -> recipe train ->
+  big-batch train -> sustained train (needs the LRW fixture)
 
 Baseline (VERDICT r1 item 4): the reference publishes no throughput numbers
 (SURVEY.md §6), so it was MEASURED on this host with
@@ -17,12 +35,10 @@ Baseline (VERDICT r1 item 4): the reference publishes no throughput numbers
 modules (VideoExtractor + Decoder, tf=1) plus faithful core-torch
 reimplementations of torchaudio 0.9.0 InverseMelScale(256 SGD iters) and
 GriffinLim(256): **1.42 clips/s** (batch 32, torch 2.13 CPU, 1-core host).
-The reference targets a V100; this workload on a V100 speeds up the conv
-encoder and batched FFTs massively but stays latency-bound in the 300-step
-Python AR loop and the 256+256 sequential inversion iterations. We assume a
-generous 50x uplift CPU->V100 (documented in BASELINE.md), i.e.
-reference_v100 ~= 71 clips/s. ``vs_baseline`` is ours / reference_v100 per
-chip — the conservative ratio; the raw measured-CPU ratio is also emitted.
+The reference targets a V100; we assume a generous 50x uplift CPU->V100
+(documented in BASELINE.md), i.e. reference_v100 ~= 71 clips/s.
+``vs_baseline`` is ours / reference_v100 per chip — the conservative
+ratio; the raw measured-CPU ratio is also emitted.
 
 Timing forces a data-dependent host read per call (block_until_ready does
 not actually synchronize through the axon TPU tunnel).
@@ -31,6 +47,9 @@ not actually synchronize through the axon TPU tunnel).
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
@@ -65,6 +84,54 @@ PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+T0 = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+
+RESULT: dict = {
+    "metric": "lrw_full_inference_clips_per_sec",
+    "value": None,
+    "unit": (
+        f"clips/s/chip (video->waveform, 300-step AR + {GL_ITERS}-iter GL on "
+        f"the {MEL_FRAMES}-frame speech prefix, bf16, B={BATCH}, steady-state "
+        "pipelined; per-batch-synced value also emitted)"
+    ),
+    "vs_baseline": None,
+    "clips_per_sec_synced": None,
+    "train_clips_per_sec": None,
+    "train_recipe_clips_per_sec": None,
+    "sustained_train_clips_per_sec": None,
+    "mfu_inference": None,
+    "mfu_train": None,
+    "inference_tflops": None,
+    "train_step_tflops": None,
+    "reference_cpu_clips_per_sec_measured": REFERENCE_CPU_CLIPS_PER_SEC,
+    "cpu_to_v100_uplift_assumed": CPU_TO_V100_UPLIFT,
+    "vs_reference_cpu_measured": None,
+    "device_kind": None,
+    "sections_skipped": [],
+    "elapsed_s": None,
+}
+
+
+def note(msg: str) -> None:
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit() -> None:
+    RESULT["elapsed_s"] = round(time.time() - T0, 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+def remaining() -> float:
+    return DEADLINE_S - (time.time() - T0)
+
+
+def _on_alarm(signum, frame):  # pragma: no cover — deadline escape hatch
+    note(f"DEADLINE {DEADLINE_S:.0f}s hit — emitting partial result")
+    RESULT["sections_skipped"].append("deadline_alarm")
+    emit()
+    os._exit(0)
+
 
 def _flops(compiled) -> float:
     ca = compiled.cost_analysis()
@@ -74,6 +141,9 @@ def _flops(compiled) -> float:
 
 
 def main():
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(DEADLINE_S))
+
     from lip2speech_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -84,6 +154,7 @@ def main():
     from lip2speech_tpu.train.train_step import cast_floats
 
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+    RESULT["device_kind"] = jax.devices()[0].device_kind
     cfg = Config()
     model = Lip2Speech(cfg.model)
 
@@ -97,6 +168,7 @@ def main():
     rngs = {"gumbel": jax.random.PRNGKey(1)}
     import functools as _ft
 
+    note("jitted init...")
     # jitted init — eager flax init pays per-op dispatch through the tunnel
     variables = jax.jit(_ft.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)},
@@ -119,6 +191,7 @@ def main():
         return jnp.sum(wav), out["lengths"]
 
     key = jax.random.PRNGKey(0)
+    note(f"compiling inference B={b}...")
     inf_compiled = (
         jax.jit(full_inference)
         .lower(bf_vars, bf_video, bf_faces, key)
@@ -127,6 +200,7 @@ def main():
     inf_flops = _flops(inf_compiled)
     s, _ = inf_compiled(bf_vars, bf_video, bf_faces, key)
     float(s)  # warm + sync
+    note("inference compiled + warm; timing...")
 
     # per-batch synced latency (each iteration waits for a host read —
     # includes one tunnel round trip per batch)
@@ -137,7 +211,7 @@ def main():
         float(s)
         ts.append(time.time() - t0)
     dt_inf = float(np.median(ts))
-    clips_per_sec_synced = b / dt_inf
+    RESULT["clips_per_sec_synced"] = round(b / dt_inf, 2)
 
     # steady-state pipelined throughput: dispatch every batch back to back
     # (async PJRT dispatch keeps the chip busy — exactly what a serving
@@ -152,7 +226,15 @@ def main():
         float(s)  # data-dependent reads; all batches complete
     dt_pipe = (time.time() - t0) / N_ITERS
     clips_per_sec = b / dt_pipe
-    mfu_inference = inf_flops / dt_pipe / peak
+    RESULT["value"] = round(clips_per_sec, 2)
+    RESULT["vs_baseline"] = round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 2)
+    RESULT["vs_reference_cpu_measured"] = round(
+        clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 1
+    )
+    RESULT["mfu_inference"] = round(inf_flops / dt_pipe / peak, 4)
+    RESULT["inference_tflops"] = round(inf_flops / 1e12, 3)
+    note(f"headline: {RESULT['value']} clips/s — emitting early partial line")
+    emit()  # the headline exists from this point on, whatever happens next
 
     # ---------------- train step (fwd + bwd + AdamW) ----------------
     # lower the raw step (not make_train_step's jit) for cost analysis
@@ -178,6 +260,7 @@ def main():
             "mel_mask": jnp.ones((tb, cfg.data.max_mel_frames), bool),
         }
         state = create_train_state(cfg, variables)
+        note(f"compiling train step B={tb}...")
         compiled = jax.jit(step_raw).lower(state, batch, tf, rng).compile()
         flops = _flops(compiled)
         state, metrics = compiled(state, batch, tf, rng)
@@ -189,79 +272,90 @@ def main():
         dt = (time.time() - t0) / TRAIN_ITERS
         return tb / dt, flops / dt / peak, flops
 
-    train_clips_per_sec, mfu_train, train_flops = measure_train(BATCH)
-    train_recipe_clips_per_sec, _, _ = measure_train(TRAIN_BATCH)
+    # recipe batch first: it is the reference-matching number
+    # (train.py:92-100) and the cheaper compile
+    if remaining() > 60:
+        try:
+            recipe_rate, mfu_t, train_flops = measure_train(TRAIN_BATCH)
+            RESULT["train_recipe_clips_per_sec"] = round(recipe_rate, 2)
+            RESULT["mfu_train"] = round(mfu_t, 4)
+            RESULT["train_step_tflops"] = round(train_flops / 1e12, 3)
+            note(f"train recipe B={TRAIN_BATCH}: {RESULT['train_recipe_clips_per_sec']} clips/s")
+        except Exception as e:  # noqa: BLE001 — never lose the bench line
+            note(f"train recipe section failed: {e!r}")
+            RESULT["sections_skipped"].append("train_recipe_error")
+    else:
+        note("skipping train sections (budget)")
+        RESULT["sections_skipped"].append("train_recipe_budget")
+
+    if remaining() > 120:
+        try:
+            big_rate, mfu_t, train_flops = measure_train(BATCH)
+            RESULT["train_clips_per_sec"] = round(big_rate, 2)
+            # B=256 amortizes better — report its (higher) MFU as mfu_train
+            RESULT["mfu_train"] = round(mfu_t, 4)
+            RESULT["train_step_tflops"] = round(train_flops / 1e12, 3)
+            note(f"train B={BATCH}: {RESULT['train_clips_per_sec']} clips/s")
+        except Exception as e:  # noqa: BLE001
+            note(f"train big-batch section failed: {e!r}")
+            RESULT["sections_skipped"].append("train_big_error")
+    else:
+        RESULT["sections_skipped"].append("train_big_budget")
 
     # ---------------- sustained train WITH the real input pipeline ------
     # VERDICT r3 item 3: the step-only numbers above feed from pre-staged
     # device tensors; this measures the production path (threaded Loader
     # with the decoded-clip cache -> collate -> device put -> prepare_batch
     # -> step) in steady state. Guarded: bench must still emit its line on
-    # a host without the LRW fixture.
-    sustained_train_clips_per_sec = None
-    try:
-        import os as _os
+    # a host without the LRW fixture. Opt out with BENCH_SUSTAINED=0.
+    want_sustained = os.environ.get("BENCH_SUSTAINED", "1") != "0"
+    if want_sustained and remaining() > 90:
+        try:
+            _fixture = "/root/reference/Datasets/SAMPLE_LRW"
+            if os.path.isdir(_fixture):
+                from lip2speech_tpu.data import LRW, Loader, prepare_batch
+                from lip2speech_tpu.parallel import auto_mesh, distribute_batch
+                from lip2speech_tpu.train.train_step import make_train_step
 
-        _fixture = "/root/reference/Datasets/SAMPLE_LRW"
-        if _os.path.isdir(_fixture):
-            from lip2speech_tpu.data import LRW, Loader, prepare_batch
-            from lip2speech_tpu.parallel import auto_mesh, distribute_batch
-            from lip2speech_tpu.train.train_step import make_train_step
+                note("sustained-train section (real loader)...")
+                ds = LRW(_fixture, mode="test", cfg=cfg.data, cache_bytes=2**32)
+                loader = Loader(
+                    ds, TRAIN_BATCH, cfg.data, shuffle=True, infinite=True,
+                    num_workers=min(TRAIN_BATCH, os.cpu_count() or 8), seed=0,
+                )
+                mesh = auto_mesh(TRAIN_BATCH, 1)
+                sstate = create_train_state(cfg, variables)
+                step_fn = make_train_step(cfg, model, tx)
+                srng = jax.random.PRNGKey(0)
+                it_ = iter(loader)
 
-            ds = LRW(_fixture, mode="test", cfg=cfg.data, cache_bytes=2**32)
-            loader = Loader(
-                ds, TRAIN_BATCH, cfg.data, shuffle=True, infinite=True,
-                num_workers=min(TRAIN_BATCH, _os.cpu_count() or 8), seed=0,
-            )
-            mesh = auto_mesh(TRAIN_BATCH, 1)
-            sstate = create_train_state(cfg, variables)
-            step_fn = make_train_step(cfg, model, tx)
-            srng = jax.random.PRNGKey(0)
-            it_ = iter(loader)
+                def one_step(state):
+                    raw = next(it_)
+                    sb = prepare_batch(distribute_batch(raw, mesh), cfg.audio, cfg.data)
+                    sb.pop("audio"), sb.pop("audio_lengths")
+                    return step_fn(state, sb, tf, srng)
 
-            def one_step(state):
-                raw = next(it_)
-                sb = prepare_batch(distribute_batch(raw, mesh), cfg.audio, cfg.data)
-                sb.pop("audio"), sb.pop("audio_lengths")
-                return step_fn(state, sb, tf, srng)
+                for _ in range(6):  # compile + fill the decoded cache
+                    sstate, sm = one_step(sstate)
+                float(sm["total"])
+                t0 = time.time()
+                for _ in range(TRAIN_ITERS * 4):
+                    sstate, sm = one_step(sstate)
+                float(sm["total"])
+                RESULT["sustained_train_clips_per_sec"] = round(
+                    TRAIN_BATCH * TRAIN_ITERS * 4 / (time.time() - t0), 2
+                )
+                note(f"sustained: {RESULT['sustained_train_clips_per_sec']} clips/s")
+            else:
+                RESULT["sections_skipped"].append("sustained_no_fixture")
+        except Exception as e:  # noqa: BLE001 — never lose the bench line
+            note(f"sustained-train measurement skipped: {e!r}")
+            RESULT["sections_skipped"].append("sustained_error")
+    elif want_sustained:
+        RESULT["sections_skipped"].append("sustained_budget")
 
-            for _ in range(6):  # compile + fill the decoded cache
-                sstate, sm = one_step(sstate)
-            float(sm["total"])
-            t0 = time.time()
-            for _ in range(TRAIN_ITERS * 4):
-                sstate, sm = one_step(sstate)
-            float(sm["total"])
-            sustained_train_clips_per_sec = round(
-                TRAIN_BATCH * TRAIN_ITERS * 4 / (time.time() - t0), 2
-            )
-    except Exception as e:  # noqa: BLE001 — never lose the bench line
-        print(f"sustained-train measurement skipped: {e!r}", flush=True)
-
-    print(
-        json.dumps(
-            {
-                "metric": "lrw_full_inference_clips_per_sec",
-                "value": round(clips_per_sec, 2),
-                "unit": f"clips/s/chip (video->waveform, 300-step AR + {GL_ITERS}-iter GL on the {MEL_FRAMES}-frame speech prefix, bf16, B={BATCH}, steady-state pipelined; per-batch-synced value also emitted)",
-                "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 2),
-                "clips_per_sec_synced": round(clips_per_sec_synced, 2),
-                "train_clips_per_sec": round(train_clips_per_sec, 2),
-                "train_recipe_clips_per_sec": round(train_recipe_clips_per_sec, 2),
-                "sustained_train_clips_per_sec": sustained_train_clips_per_sec,
-                "mfu_inference": round(mfu_inference, 4),
-                "mfu_train": round(mfu_train, 4),
-                "inference_tflops": round(inf_flops / 1e12, 3),
-                "train_step_tflops": round(train_flops / 1e12, 3),
-                "reference_cpu_clips_per_sec_measured": REFERENCE_CPU_CLIPS_PER_SEC,
-                "cpu_to_v100_uplift_assumed": CPU_TO_V100_UPLIFT,
-                "vs_reference_cpu_measured": round(
-                    clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC, 1
-                ),
-                "device_kind": jax.devices()[0].device_kind,
-            }
-        )
-    )
+    signal.alarm(0)
+    emit()
 
 
 if __name__ == "__main__":

@@ -163,6 +163,15 @@ def train(args, cfg: Config | None = None) -> dict:
         best_score = float(extra.get("best_score", -1.0))
         print(f"resumed at step {start_it} (best ESTOI {best_score:.4f})")
 
+    if args.rewind_on_stall and cfg.train.adversarial:
+        # the safety checkpoint holds only the generator TrainState; a
+        # rewind would roll the generator back against the
+        # post-divergence critic (round-4 advisor finding)
+        raise RuntimeError(
+            "--rewind_on_stall is unsupported with train.adversarial=true: "
+            "the rolling safety checkpoint does not include the critic "
+            "params/optimizer. Disable one of the two."
+        )
     critic = None
     if cfg.train.adversarial:
         # WGAN critic (reference losses.py:83-136, unwired there): one
@@ -201,6 +210,7 @@ def train(args, cfg: Config | None = None) -> dict:
     # checkpoints + restore-and-reseed when every step is being rejected
     safety_dir = os.path.join(args.ckpt_dir, "safety")
     rewinds, rewind_depth, last_rewind_it, last_consec = 0, 0, -1, 0.0
+    pending_nfc = None  # previous step's on-device notfinite counter
     if args.rewind_on_stall:
         if not ckpt.available_steps(safety_dir):
             ckpt.save_checkpoint(safety_dir, max(start_it, 0), state,
@@ -214,8 +224,22 @@ def train(args, cfg: Config | None = None) -> dict:
             raise RuntimeError("rewind requested but no safety checkpoint")
         # repeated stalls walk back to progressively older safety saves
         target = steps[max(len(steps) - 1 - rewind_depth, 0)]
-        payload, _ = ckpt.restore_checkpoint(safety_dir, template=state,
-                                             step=target)
+        try:
+            payload, _ = ckpt.restore_checkpoint(safety_dir, template=state,
+                                                 step=target)
+        except FileNotFoundError as e:
+            # target pruned/corrupted between listing and restore: fall
+            # back to the newest safety step that still exists
+            fallback = ckpt.available_steps(safety_dir)
+            if not fallback:
+                raise RuntimeError(
+                    "rewind: no safety checkpoint survives"
+                ) from e
+            target = fallback[-1]
+            print(f"rewind: requested step missing ({e}); "
+                  f"falling back to newest safety step {target}")
+            payload, _ = ckpt.restore_checkpoint(safety_dir, template=state,
+                                                 step=target)
         state = adopt(payload)
         rewinds += 1
         rewind_depth += 1
@@ -287,20 +311,30 @@ def train(args, cfg: Config | None = None) -> dict:
             # dispatch stays on for them.
             jax.block_until_ready(metrics["total"])
 
+        if args.rewind_on_stall:
+            # stall detection samples the counter EVERY step (round-4
+            # advisor: at log ticks only, a stall could run log_interval+N
+            # steps before do_rewind fired). The read is delayed by one
+            # step: the previous step's counter is already materialized
+            # while this step runs, so the host read costs one tunnel RTT
+            # but no pipeline bubble.
+            if pending_nfc is not None:
+                last_consec = float(pending_nfc)
+            pending_nfc = metrics.get("notfinite_count")
+            if (
+                last_consec >= args.rewind_on_stall
+                and rewinds < args.max_rewinds
+            ):
+                rng = do_rewind()
+                last_consec = 0.0
+                pending_nfc = None
+
         if (it + 1) % log_interval == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["tf_ratio"] = tf_ratio
             metrics["epoch"] = epoch
             logger.scalars(it + 1, metrics)
             logger.console(it + 1, metrics, total_steps=max_iters)
-            last_consec = metrics.get("notfinite_count", 0.0)
-            if (
-                args.rewind_on_stall
-                and last_consec >= args.rewind_on_stall
-                and rewinds < args.max_rewinds
-            ):
-                rng = do_rewind()
-                last_consec = 0.0
 
         if (it + 1) % eval_interval == 0:
             eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
@@ -320,6 +354,12 @@ def train(args, cfg: Config | None = None) -> dict:
                     args.ckpt_dir, it + 1, state, {"best_score": best_score}
                 )
                 last_saved_step = it + 1
+            if args.rewind_on_stall and pending_nfc is not None:
+                # re-read the CURRENT step's counter right before the
+                # safety-save decision (round-4 advisor: an eval tick
+                # landing before the first sample saw a stale 0.0)
+                last_consec = float(pending_nfc)
+                pending_nfc = None
             if args.rewind_on_stall and last_consec == 0.0:
                 # rolling safety save for divergence rewind — only from a
                 # healthy step (the last logged one was not rejected)

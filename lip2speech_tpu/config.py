@@ -141,7 +141,11 @@ class TrainConfig:
     # clip_by_global_norm and corrupts the params permanently (observed
     # in a long bf16 overfit run).
     skip_nonfinite_updates: bool = True
-    # consecutive non-finite steps tolerated before optax gives up
+    # Retained for override compatibility; since round 5 the skip wrapper
+    # (train_step.skip_if_not_finite) NEVER gives up and applies a
+    # non-finite update — optax.apply_if_finite's accept-after-N behavior
+    # would NaN params and Adam moments permanently. Persistent stalls are
+    # escaped by the training loop's --rewind_on_stall instead.
     max_consecutive_nonfinite: int = 100
     # Reject (skip, exactly like a nonfinite step) any update whose
     # pre-clip global gradient norm exceeds this value. 0 = off

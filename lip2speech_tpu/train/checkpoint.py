@@ -379,8 +379,21 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
 
 
 def _fresh_if_finite_wrapper(inner_state):
-    """A freshly-initialized optax ApplyIfFiniteState around
-    ``inner_state`` (counters zeroed, last update assumed finite)."""
+    """A freshly-initialized ``SkipIfNotFiniteState`` around
+    ``inner_state`` (counters zeroed)."""
+    from lip2speech_tpu.train.train_step import SkipIfNotFiniteState
+
+    return SkipIfNotFiniteState(
+        notfinite_count=np.zeros((), np.int32),
+        total_notfinite=np.zeros((), np.int32),
+        inner_state=inner_state,
+    )
+
+
+def _legacy_if_finite_wrapper(inner_state):
+    """The pre-round-5 wrapper schema (optax ApplyIfFiniteState) — only
+    needed to read checkpoints written before skip_if_not_finite replaced
+    optax.apply_if_finite."""
     import optax
 
     return optax.ApplyIfFiniteState(
@@ -424,7 +437,14 @@ def restore_checkpoint(
     if not steps:
         return None
     if step is not None and step not in steps:
-        return None
+        # an EXPLICITLY requested step that is gone (pruned concurrently,
+        # or a corrupt/partial dir) must not surface as a silent None —
+        # do_rewind unpacks the result and would die on an opaque
+        # TypeError (round-4 advisor finding)
+        raise FileNotFoundError(
+            f"checkpoint step {step} not found in {ckpt_dir}; "
+            f"available steps: {sorted(steps)}"
+        )
     path = os.path.join(ckpt_dir, f"step_{max(steps) if step is None else step}")
     with ocp.StandardCheckpointer() as ckptr:
         if template is None:
@@ -440,30 +460,50 @@ def restore_checkpoint(
                     "extra": {"best_score": np.asarray(0.0)},
                 }
 
+            from lip2speech_tpu.train.train_step import SkipIfNotFiniteState
+
             tmpl_wrapped = isinstance(
-                template.opt_state, optax.ApplyIfFiniteState
+                template.opt_state,
+                (SkipIfNotFiniteState, optax.ApplyIfFiniteState),
             )
             try:
                 payload = ckptr.restore(path, target_for(template.opt_state))
             except Exception as first_err:
-                # possibly the opt-state schema mismatch from toggling
-                # train.skip_nonfinite_updates: flip the wrapper and
-                # retry; if that fails too, the problem was never the
+                # possibly an opt-state schema mismatch: the checkpoint was
+                # written with train.skip_nonfinite_updates toggled the
+                # other way, or with the pre-round-5 optax
+                # ApplyIfFiniteState wrapper. Retry the plausible
+                # alternatives; if all fail, the problem was never the
                 # schema — surface the ORIGINAL error
-                alt = (
+                inner = (
                     template.opt_state.inner_state
                     if tmpl_wrapped
-                    else _fresh_if_finite_wrapper(template.opt_state)
+                    else template.opt_state
                 )
-                try:
-                    payload = ckptr.restore(path, target_for(alt))
-                except Exception:
+                alts = (
+                    [inner, _legacy_if_finite_wrapper(inner)]
+                    if tmpl_wrapped
+                    else [
+                        _fresh_if_finite_wrapper(inner),
+                        _legacy_if_finite_wrapper(inner),
+                    ]
+                )
+                payload = None
+                for alt in alts:
+                    try:
+                        payload = ckptr.restore(path, target_for(alt))
+                        break
+                    except Exception:
+                        continue
+                if payload is None:
                     raise first_err
                 restored_opt = payload["state"]["opt_state"]
+                if hasattr(restored_opt, "inner_state"):
+                    restored_opt = restored_opt.inner_state
                 payload["state"]["opt_state"] = (
                     _fresh_if_finite_wrapper(restored_opt)
                     if tmpl_wrapped
-                    else restored_opt.inner_state
+                    else restored_opt
                 )
     extra = payload.get("extra", {})
     return payload["state"], {k: v for k, v in extra.items()}

@@ -75,7 +75,7 @@ def trainable_mask(params: Any) -> Any:
 def reject_above_norm(threshold: float) -> optax.GradientTransformation:
     """NaN-ify the whole update when its global norm exceeds ``threshold``.
 
-    Chained in front of ``optax.apply_if_finite`` this turns a
+    Chained in front of ``skip_if_not_finite`` this turns a
     huge-but-finite gradient spike into a *skipped* step (params, optimizer
     moments and — via ``guard_batch_stats``'s matching predicate — BN
     running stats all stay at last-good) instead of a norm-``grad_clip``
@@ -92,6 +92,57 @@ def reject_above_norm(threshold: float) -> optax.GradientTransformation:
         return updates, state
 
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
+class SkipIfNotFiniteState(NamedTuple):
+    """State of ``skip_if_not_finite``. Field names mirror
+    ``optax.ApplyIfFiniteState`` so existing probes/metrics keep working."""
+
+    notfinite_count: jnp.ndarray  # CONSECUTIVE skipped steps (resets on good)
+    total_notfinite: jnp.ndarray
+    inner_state: Any
+
+
+def skip_if_not_finite(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Skip (zero) any update with non-finite leaves — and NEVER give up.
+
+    Replaces ``optax.apply_if_finite``, whose contract *applies* the update
+    anyway after ``max_consecutive_errors`` consecutive non-finite steps: an
+    accepted all-NaN update permanently NaNs params and Adam moments, the
+    exact catastrophe the wrapper exists to prevent (round-4 advisor
+    finding). Here a non-finite update is always skipped: the emitted update
+    is zero and the inner optimizer state (Adam moments, AMSGrad max) keeps
+    its last-good value. Escaping a persistent stall is the job of the
+    training loop's divergence rewind (``--rewind_on_stall``), which watches
+    the consecutive ``notfinite_count`` this state exposes — not of the
+    optimizer silently poisoning itself."""
+
+    def init_fn(params):
+        return SkipIfNotFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update_fn(updates, state, params=None):
+        ok = all_finite(updates)
+        new_updates, new_inner = inner.update(updates, state.inner_state, params)
+        # non-finite grads produce non-finite inner results; select, never mix
+        safe_updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), new_updates
+        )
+        safe_inner = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_inner, state.inner_state
+        )
+        return safe_updates, SkipIfNotFiniteState(
+            notfinite_count=jnp.where(ok, 0, state.notfinite_count + 1).astype(
+                jnp.int32
+            ),
+            total_notfinite=state.total_notfinite + (1 - ok.astype(jnp.int32)),
+            inner_state=safe_inner,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
@@ -111,13 +162,15 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     reject = cfg.train.reject_grad_norm_above
     if cfg.train.skip_nonfinite_updates or reject > 0.0:
         # apex-overflow-skip equivalent: a NaN/Inf gradient would poison
-        # clip_by_global_norm and corrupt params permanently; reject the
+        # clip_by_global_norm and corrupt params permanently; skip the
         # update instead (reference train.py:188-196). reject_above_norm
         # relies on this wrapper to convert its NaNs into a skip (and to
         # keep them out of the Adam moments), so it forces the wrapper on.
-        tx = optax.apply_if_finite(tx, cfg.train.max_consecutive_nonfinite)
+        # skip_if_not_finite never accepts a non-finite update, unlike
+        # optax.apply_if_finite (see its docstring).
+        tx = skip_if_not_finite(tx)
     if reject > 0.0:
-        # order matters: the rejector must run BEFORE apply_if_finite so
+        # order matters: the rejector must run BEFORE the skip wrapper so
         # the NaN-ified spike is skipped instead of fed to the inner chain
         tx = optax.chain(reject_above_norm(reject), tx)
     return tx

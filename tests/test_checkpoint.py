@@ -118,8 +118,10 @@ def test_restore_across_nonfinite_schema(tmp_path):
     # saved WITHOUT the wrapper, restored into a wrapped template
     d1 = str(tmp_path / "off_to_on")
     ckpt.save_checkpoint(d1, 5, make_state(False), extra={"best_score": np.asarray(0.25)})
+    from lip2speech_tpu.train.train_step import SkipIfNotFiniteState
+
     state, extra = ckpt.restore_checkpoint(d1, template=make_state(True))
-    assert isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    assert isinstance(state["opt_state"], SkipIfNotFiniteState)
     np.testing.assert_array_equal(state["params"]["encoder"]["w"], params["encoder"]["w"])
     assert float(extra["best_score"]) == 0.25
     assert int(state["opt_state"].notfinite_count) == 0
@@ -128,12 +130,14 @@ def test_restore_across_nonfinite_schema(tmp_path):
     d2 = str(tmp_path / "on_to_off")
     ckpt.save_checkpoint(d2, 5, make_state(True), extra={"best_score": np.asarray(0.5)})
     state, extra = ckpt.restore_checkpoint(d2, template=make_state(False))
-    assert not isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    assert not isinstance(
+        state["opt_state"], (SkipIfNotFiniteState, optax.ApplyIfFiniteState)
+    )
     np.testing.assert_array_equal(state["params"]["decoder"]["w"], params["decoder"]["w"])
 
     # same-schema restore still exact
     state, _ = ckpt.restore_checkpoint(d2, template=make_state(True))
-    assert isinstance(state["opt_state"], optax.ApplyIfFiniteState)
+    assert isinstance(state["opt_state"], SkipIfNotFiniteState)
     assert int(state["step"]) == 5
 
 
@@ -170,3 +174,79 @@ def test_load_model_rejects_bogus_path(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="neither"):
         load_model(Config(), str(tmp_path / "defualt"), batch_size=1)
+
+
+def test_restore_legacy_apply_if_finite_checkpoint(tmp_path):
+    """A checkpoint written before round 5 (optax ApplyIfFiniteState
+    wrapper) restores into the new SkipIfNotFiniteState template with
+    inner moments preserved and counters re-initialized."""
+    import dataclasses
+
+    import optax
+
+    from lip2speech_tpu.config import Config
+    from lip2speech_tpu.train.train_step import (
+        SkipIfNotFiniteState,
+        TrainState,
+        make_optimizer,
+    )
+
+    params = {"encoder": {"w": np.arange(3, dtype=np.float32)}}
+    stats = {"bn": {"mean": np.zeros((1,), np.float32)}}
+    cfg = Config()
+    tx_new = make_optimizer(cfg, params)  # skip_nonfinite on by default
+
+    # fabricate the pre-round-5 schema: same inner chain, legacy wrapper
+    inner_state = tx_new.init(params).inner_state
+    legacy_opt = optax.ApplyIfFiniteState(
+        notfinite_count=np.asarray(3, np.int32),
+        last_finite=np.asarray(True),
+        total_notfinite=np.asarray(7, np.int32),
+        inner_state=inner_state,
+    )
+    legacy_state = TrainState(
+        step=jnp.asarray(9, jnp.int32),
+        params=params,
+        batch_stats=stats,
+        opt_state=legacy_opt,
+    )
+    d = str(tmp_path / "legacy")
+    ckpt.save_checkpoint(d, 9, legacy_state, extra={"best_score": np.asarray(0.1)})
+
+    template = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=stats,
+        opt_state=tx_new.init(params),
+    )
+    state, extra = ckpt.restore_checkpoint(d, template=template)
+    assert isinstance(state["opt_state"], SkipIfNotFiniteState)
+    assert int(state["opt_state"].notfinite_count) == 0  # re-initialized
+    assert int(state["step"]) == 9
+    assert float(extra["best_score"]) == 0.1
+
+
+def test_restore_missing_explicit_step_raises(tmp_path):
+    """restore_checkpoint(step=N) with N absent raises a descriptive
+    FileNotFoundError instead of returning None (round-4 advisor: the
+    rewind path unpacked None into an opaque TypeError)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from lip2speech_tpu.config import Config
+    from lip2speech_tpu.train.train_step import TrainState, make_optimizer
+
+    params = {"encoder": {"w": np.arange(3, dtype=np.float32)}}
+    cfg = Config()
+    tx = make_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.asarray(2, jnp.int32),
+        params=params,
+        batch_stats={},
+        opt_state=tx.init(params),
+    )
+    d = str(tmp_path / "ring")
+    ckpt.save_checkpoint(d, 2, state, extra={"best_score": np.asarray(0.0)})
+    with _pytest.raises(FileNotFoundError, match="available steps"):
+        ckpt.restore_checkpoint(d, template=state, step=999)

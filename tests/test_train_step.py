@@ -572,3 +572,45 @@ def test_reject_grad_norm_above_full_step(setup):
         )
     )
     assert moved > 0
+
+
+def test_skip_never_gives_up_past_consecutive_limit():
+    """Regression (round-4 advisor, medium): optax.apply_if_finite APPLIES
+    the update after max_consecutive_errors consecutive non-finite steps —
+    an accepted all-NaN update permanently NaNs params and Adam moments.
+    The replacement wrapper (skip_if_not_finite) must keep skipping forever:
+    params and moments stay at last-good through an arbitrarily long stall,
+    and a finite step afterwards still trains."""
+    cfg = dataclasses.replace(
+        CFG,
+        train=dataclasses.replace(
+            CFG.train, max_consecutive_nonfinite=5, reject_grad_norm_above=10.0
+        ),
+    )
+    params = {"encoder": {"w": jnp.ones((4,))}}
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    from lip2speech_tpu.train.train_step import _find_notfinite_count
+
+    nan_grads = {"encoder": {"w": jnp.full((4,), jnp.nan)}}
+    huge = {"encoder": {"w": jnp.full((4,), 1e7)}}  # finite, norm > 10
+    jitted = jax.jit(tx.update)
+    for i in range(12):  # far past max_consecutive_nonfinite=5
+        bad = nan_grads if i % 2 == 0 else huge
+        updates, opt_state = jitted(bad, opt_state, params)
+        assert all(
+            np.all(np.asarray(u) == 0) for u in jax.tree.leaves(updates)
+        ), f"step {i}: non-finite update leaked through"
+        assert int(_find_notfinite_count(opt_state)) == i + 1
+    # every opt-state leaf is still finite (Adam moments at last-good)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree.leaves(opt_state)
+        if np.issubdtype(np.asarray(leaf).dtype, np.floating)
+    )
+    ok = {"encoder": {"w": jnp.ones((4,))}}
+    updates, opt_state = jitted(ok, opt_state, params)
+    assert int(_find_notfinite_count(opt_state)) == 0
+    upd = np.asarray(updates["encoder"]["w"])
+    assert np.isfinite(upd).all() and np.abs(upd).max() > 0
