@@ -80,6 +80,12 @@ class ModelConfig:
     # compound into overflow. Forward semantics unchanged; default off
     # preserves reference-parity gradients.
     scan_grad_clip: float = 0.0
+    # Companion stabilizer for the OTHER explosion channel (measured:
+    # runs/overfit_r5a — KLD climbing 0.1->4 preceded every 1e8-1e16 grad
+    # spike): when > 0, clips the cotangent reaching the content
+    # quantizer logits (the tau=0.1 gumbel-softmax scales logits grads by
+    # 1/tau through every AR attention read). Forward identical; opt-in.
+    content_grad_clip: float = 0.0
     # Discriminator (model/modules/discriminator.py:43-97)
     discriminator_patch: int = 32  # static upper bound of the 7..31 patch
     # Speaker (voice) encoder (model/modules/audio.py:110-129)

@@ -195,6 +195,19 @@ class ContentEncoder(nn.Module):
         logits = nn.silu(nn.Dense(vocab, name="loc_2")(h))  # (B, S, vocab)
 
         flat = logits.reshape(-1, vocab)
+        if c.content_grad_clip > 0.0:
+            # Long-run fixture campaigns (runs/overfit_r5a) showed the
+            # content path is the OTHER explosion channel scan_grad_clip
+            # does not cover: every grad blowup (1e8-1e16) was preceded by
+            # the KLD term climbing 0.1 -> 1-4, i.e. the quantizer logits
+            # sharpening — and the tau=0.1 gumbel-softmax multiplies
+            # logits cotangents by 1/tau through 80 AR attention reads.
+            # Identity forward; clips only the total cotangent reaching
+            # the logits. Opt-in like scan_grad_clip (no reference
+            # counterpart, decoder.py:199-260 trains unclipped).
+            from lip2speech_tpu.models.layers import clip_grad_norm
+
+            flat = clip_grad_norm(flat, c.content_grad_clip)
         # the reference samples gumbel noise unconditionally — train AND
         # eval (F.gumbel_softmax has no eval switch, decoder.py:257) — so
         # eval parity requires sampling here too; determinism is preserved

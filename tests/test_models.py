@@ -234,3 +234,55 @@ def test_decoder_scan_grad_clip_forward_exact(decoder_vars):
     out_on = clipped.apply(vars_, enc, face, mels, 0.5, rngs, train=False)
     for k in ("mel", "mel_postnet", "gate", "attention"):
         np.testing.assert_array_equal(np.asarray(out_off[k]), np.asarray(out_on[k]))
+
+
+def test_decoder_content_grad_clip_forward_exact(decoder_vars):
+    """content_grad_clip (round-5 stabilizer for the quantizer-logits
+    explosion channel) must not change forward values at all: outputs are
+    bit-identical on/off."""
+    import dataclasses
+
+    model, vars_, enc, face, mels, rngs = decoder_vars
+    clipped = Decoder(dataclasses.replace(CFG, content_grad_clip=1.0))
+    out_off = model.apply(vars_, enc, face, mels, 0.5, rngs, train=False)
+    out_on = clipped.apply(vars_, enc, face, mels, 0.5, rngs, train=False)
+    for k in ("mel", "mel_postnet", "gate", "attention"):
+        np.testing.assert_array_equal(np.asarray(out_off[k]), np.asarray(out_on[k]))
+
+
+def test_content_grad_clip_bounds_quantizer_grads():
+    """With content_grad_clip on, the cotangent reaching the quantizer
+    logits is bounded regardless of how large the downstream gradient is
+    (the measured runs/overfit_r5a failure channel: KLD-term sharpening
+    amplified by the 1/tau=10 gumbel-softmax scale)."""
+    import dataclasses
+
+    from lip2speech_tpu.models.decoder import ContentEncoder
+
+    cfg_on = dataclasses.replace(CFG, content_grad_clip=1e-3)
+    cfg_off = CFG
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64)) * 3.0
+    key = jax.random.PRNGKey(1)
+
+    def loss(params, cfg):
+        enc = ContentEncoder(cfg)
+        k, v, dist = enc.apply(params, x, key, train=False)
+        # huge downstream scale to provoke a large logits cotangent
+        return 1e6 * jnp.sum(jnp.square(v)) + 1e6 * jnp.sum(jnp.square(dist))
+
+    params = ContentEncoder(cfg_off).init(
+        {"params": jax.random.PRNGKey(2)}, x, key, train=False
+    )
+    g_off = jax.grad(loss)(params, cfg_off)
+    g_on = jax.grad(loss)(params, cfg_on)
+    # loc_2 produces the logits: its kernel grad flows only through `flat`
+    n_off = float(optax_global_norm(g_off["params"]["loc_2"]))
+    n_on = float(optax_global_norm(g_on["params"]["loc_2"]))
+    assert n_off > 10 * n_on, (n_off, n_on)
+    assert np.isfinite(n_on)
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)

@@ -81,10 +81,12 @@ def test_overfit_run_reproduces(tmp_path):
     totals = [r["total"] for r in live if "total" in r]
     assert len(totals) == 20
 
-    committed_first = next(r["total"] for r in _rows() if "total" in r)
-    # same data + model + loss => the run starts in the same loss basin
-    # (loose band: the committed value is a 50-step average on TPU bf16,
-    # the live one a from-init step on whatever backend runs the tests)
+    # same data + model + loss => the run starts in the same loss basin.
+    # The anchor is the committed FROM-INIT probe (init_trajectory.jsonl /
+    # MANIFEST init_total, 20 steps at log_interval=1), not the campaign's
+    # first logged row — that lands at step log_interval (=100), long
+    # after the steep initial descent.
+    committed_first = manifest["init_total"]
     assert 0.5 * committed_first < totals[0] < 2.0 * committed_first, (
         totals[0],
         committed_first,
