@@ -1,6 +1,6 @@
 """The fixture-overfit evidence run (VERDICT r3 item 2) must reproduce.
 
-``artifacts/overfit_r4/`` holds the committed score trajectory of training
+``artifacts/overfit_r5/`` holds the committed score trajectory of training
 the real CLI on the reference's bundled 10-clip SAMPLE_LRW fixture
 (``/root/reference/arg_parser.py:12-13`` — the reference's de-facto
 integration fixture) with the overrides recorded in its MANIFEST. Two
@@ -19,7 +19,7 @@ import os
 
 import pytest
 
-ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "overfit_r4")
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "overfit_r5")
 FIXTURE = "/root/reference/Datasets/SAMPLE_LRW"
 
 needs_artifact = pytest.mark.skipif(

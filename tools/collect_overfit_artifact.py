@@ -1,4 +1,4 @@
-"""Collect the fixture-overfit evidence run into ``artifacts/overfit_r4/``.
+"""Collect the fixture-overfit evidence run into ``artifacts/overfit_r5/``.
 
 VERDICT r3 item 2 / r4 item 2: the committed artifact is the proof that
 this framework's training loop drives the full stack to intelligible
@@ -18,7 +18,7 @@ Produces:
                          checkpoint
 
 Usage: python tools/collect_overfit_artifact.py runs/overfit_r5a \
-           checkpoints/overfit_r5a [artifacts/overfit_r4]
+           checkpoints/overfit_r5a [artifacts/overfit_r5]
 """
 
 from __future__ import annotations
@@ -31,20 +31,24 @@ import sys
 
 FIXTURE = "/root/reference/Datasets/SAMPLE_LRW"
 
+# the r5d recipe: reference curriculum (tf starts 0.1 per train.py:88 and
+# anneals up slowly) + both in-graph cotangent clips; no rewind (r5a/b
+# showed rewinds decay lr to nothing while the collapse channel persists)
 OVERRIDES = [
     "train.learning_rate=2e-4",
     "model.scan_grad_clip=1.0",
-    "train.reject_grad_norm_above=1e6",
-    "train.tf_ratio_start=0.5",
-    "train.tf_ratio_step=0.025",
-    "train.tf_ratio_epochs=1000",
+    "model.content_grad_clip=1.0",
+    "train.reject_grad_norm_above=1e7",
+    "train.tf_ratio_start=0.1",
+    "train.tf_ratio_step=0.05",
+    "train.tf_ratio_epochs=2500",
 ]
 
 
 def main():
     run_dir = sys.argv[1]
     ckpt_dir = sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "artifacts/overfit_r4"
+    out = sys.argv[3] if len(sys.argv) > 3 else "artifacts/overfit_r5"
     os.makedirs(out, exist_ok=True)
 
     src = os.path.join(run_dir, "metrics.jsonl")
@@ -96,8 +100,7 @@ def main():
         "overrides": OVERRIDES,
         "cli_flags": [
             "--batch_size 10", "--no_augment", "--reuse_first_batch",
-            "--rewind_on_stall 30", "--rewind_lr_decay 0.7",
-            "--eval_interval 500", "--log_interval 100",
+            "--eval_interval 1000", "--log_interval 100",
         ],
         "best_estoi": best,
         "best_estoi_step": best_step,
