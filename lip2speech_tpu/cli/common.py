@@ -28,7 +28,22 @@ def add_common_args(p: argparse.ArgumentParser):
     )
     p.add_argument("--model_path", default=None,
                    help="orbax checkpoint dir or reference .pth")
+    p.add_argument(
+        "--override", action="append", default=[],
+        help="config override key=value (e.g. model.gumbel_tau=0.5); a "
+        "checkpoint trained with non-default knobs must be evaluated "
+        "with the same ones — pass the MANIFEST's overrides here",
+    )
     return p
+
+
+def common_config(args) -> Config:
+    """Config for a CLI invocation, honouring ``--override``."""
+    from lip2speech_tpu.config import config_with_overrides
+
+    if getattr(args, "override", None):
+        return config_with_overrides(*args.override)
+    return Config()
 
 
 def init_variables(model: Lip2Speech, cfg: Config, batch_size: int = 1):

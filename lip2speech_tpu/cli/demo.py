@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.io import wavfile
 
-from lip2speech_tpu.cli.common import add_common_args, load_model
+from lip2speech_tpu.cli.common import add_common_args, common_config, load_model
 from lip2speech_tpu.config import Config
 from lip2speech_tpu.data import Loader, get_dataset, prepare_batch
 from lip2speech_tpu.models import SpeakerEncoder
@@ -38,7 +38,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = Config()
+    cfg = common_config(args)
     os.makedirs(args.out, exist_ok=True)
 
     ds = get_dataset(args.dataset, args.root, mode="test", cfg=cfg.data)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 
-from lip2speech_tpu.cli.common import add_common_args, load_model
+from lip2speech_tpu.cli.common import add_common_args, common_config, load_model
 from lip2speech_tpu.config import Config
 from lip2speech_tpu.data import get_dataset
 from lip2speech_tpu.eval.evaluate import evaluate_net
@@ -38,7 +38,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = Config()
+    cfg = common_config(args)
     ds = get_dataset(args.dataset, args.root, mode="test", cfg=cfg.data)
     bs = min(args.batch_size, max(len(ds), 1))
     model, variables, _ = load_model(cfg, args.model_path, bs)

@@ -57,8 +57,7 @@ def parse_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "slices (TPU pods); single-host runs skip this")
-    p.add_argument("--override", action="append", default=[],
-                   help="config override, e.g. --override train.learning_rate=3e-4")
+    # --override comes from add_common_args (shared with demo/evaluate)
     p.add_argument("--train_split", default="train",
                    help="corpus split used for training (e.g. 'test' to overfit the bundled fixture)")
     p.add_argument("--no_augment", action="store_true",

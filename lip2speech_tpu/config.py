@@ -133,6 +133,15 @@ class TrainConfig:
     tf_ratio_step: float = 0.1  # +=0.1 every 10 epochs (train.py:159-160)
     tf_ratio_epochs: int = 10
     postnet_loss_weight: float = 10.0
+    # Weight on the content-quantizer KLD-to-uniform term. 1.0 is the
+    # reference's (implicit, unweighted) value, train_utils/losses.py:72.
+    # Raising it is the pressure-side stabilizer for gumbel posterior
+    # collapse: fixture-overfit campaigns (runs/overfit_r5b/r5d) showed
+    # memorization sharpens the posterior to exact one-hot (KLD pinned at
+    # log 501) over thousands of steps even with the cotangent clips on —
+    # an absorbing state that ends learning. The clips bound per-step
+    # gradients; this bounds the drift.
+    kld_weight: float = 1.0
     # bf16 activations on TPU replace apex AMP O2 (train.py:106-107)
     bf16: bool = True
     # False (default) reproduces the reference exactly: MSE averaged over

@@ -211,6 +211,7 @@ def adversarial_train_step(
             batch["gate"],
             postnet_weight=cfg.train.postnet_loss_weight,
             mel_mask=batch.get("mel_mask") if cfg.train.masked_loss else None,
+            kld_weight=cfg.train.kld_weight,
         )
         adv = generator_terms(
             critic, batch["mel"], outputs["mel_postnet"],

@@ -28,6 +28,7 @@ def lip2speech_loss(
     gate_target: jnp.ndarray,  # (B, M)
     postnet_weight: float = 10.0,
     mel_mask: jnp.ndarray | None = None,  # (B, M) True on valid frames
+    kld_weight: float = 1.0,
 ) -> dict[str, jnp.ndarray]:
     mel_target = jax.lax.stop_gradient(mel_target)
     gate_target = jax.lax.stop_gradient(gate_target)
@@ -49,7 +50,9 @@ def lip2speech_loss(
     bce = optax.sigmoid_binary_cross_entropy(gate_logits, gate_target)
     losses["gate_loss"] = jnp.mean(bce)
 
-    # KLD of content distribution vs uniform (losses.py:69-73)
+    # KLD of content distribution vs uniform (losses.py:69-73); the logged
+    # value stays unweighted so trajectories are comparable across
+    # kld_weight settings — only the total carries the weight
     qy = outputs["content_dist"]  # (B*S, vocab)
     k = qy.shape[-1]
     log_ratio = jnp.log(qy * k + 1e-20)
@@ -59,7 +62,7 @@ def lip2speech_loss(
         losses["mel_loss"]
         + losses["postnet_mel_loss"]
         + losses["gate_loss"]
-        + losses["KLD"]
+        + kld_weight * losses["KLD"]
     )
     return losses
 

@@ -249,6 +249,7 @@ def loss_and_grad(
             batch["gate"],
             postnet_weight=cfg.train.postnet_loss_weight,
             mel_mask=batch.get("mel_mask") if cfg.train.masked_loss else None,
+            kld_weight=cfg.train.kld_weight,
         )
         return losses["total"], (losses, new_stats)
 

@@ -413,6 +413,37 @@ def test_masked_loss_knob(setup):
     )
 
 
+def test_kld_weight_knob(setup):
+    """train.kld_weight scales only the KLD contribution to the total;
+    the logged KLD stays unweighted, and 1.0 is reference parity
+    (train_utils/losses.py:72-79 sums the terms unweighted)."""
+    model, variables, batch = setup
+
+    def run(w):
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, bf16=False, kld_weight=w)
+        )
+        fresh = _fresh(variables)
+        tx = make_optimizer(cfg, fresh["params"])
+        state = create_train_state(cfg, fresh)
+        step = make_train_step(cfg, model, tx)
+        _, metrics = step(
+            state, dict(batch), jnp.float32(0.5), jax.random.PRNGKey(0)
+        )
+        return metrics
+
+    m1 = run(1.0)
+    m10 = run(10.0)
+    # the logged KLD is identical (same params, same rng stream)
+    np.testing.assert_allclose(float(m1["KLD"]), float(m10["KLD"]), rtol=1e-5)
+    # and the totals differ by exactly (10-1) x KLD
+    np.testing.assert_allclose(
+        float(m10["total"]) - float(m1["total"]),
+        9.0 * float(m1["KLD"]),
+        rtol=1e-4,
+    )
+
+
 def test_bf16_step_keeps_f32_batch_stats(setup):
     """Regression: with bf16 on, updated batch_stats must come back f32 —
     the old cast_floats(..., float32) silently no-op'd on bf16 leaves, so

@@ -31,9 +31,14 @@ import sys
 
 FIXTURE = "/root/reference/Datasets/SAMPLE_LRW"
 
-# the r5d recipe: reference curriculum (tf starts 0.1 per train.py:88 and
-# anneals up slowly) + both in-graph cotangent clips; no rewind (r5a/b
-# showed rewinds decay lr to nothing while the collapse channel persists)
+# the r5f recipe: reference curriculum (tf starts 0.1 per train.py:88 and
+# anneals up slowly) + both in-graph cotangent clips + the pressure-side
+# stabilizers measured in earlier rounds of the campaign (gumbel_tau 0.5
+# tames the 1/tau cotangent amplification and the hard-noise sampling
+# when the posterior flattens; kld_weight 2 slows the one-hot collapse
+# without the uniformity overshoot kld_weight=10 produced in r5e); no
+# rewind (r5a/b showed rewinds decay lr to nothing while the collapse
+# channel persists)
 OVERRIDES = [
     "train.learning_rate=2e-4",
     "model.scan_grad_clip=1.0",
@@ -42,6 +47,8 @@ OVERRIDES = [
     "train.tf_ratio_start=0.1",
     "train.tf_ratio_step=0.05",
     "train.tf_ratio_epochs=2500",
+    "train.kld_weight=2.0",
+    "model.gumbel_tau=0.5",
 ]
 
 
@@ -83,16 +90,18 @@ def main():
     ]
     init_total = next(r["total"] for r in init_rows if "total" in r)
 
-    # wav pair from the best checkpoint via the demo CLI
+    # wav pair from the best checkpoint via the demo CLI — with the same
+    # config overrides the model was trained with (model.gumbel_tau etc.
+    # change inference behavior, so demo/evaluate must mirror them)
     wav_dir = os.path.join(out, "wav")
-    subprocess.run(
-        [
-            sys.executable, "-m", "lip2speech_tpu.cli.demo",
-            "--dataset", "LRW", "--root", FIXTURE,
-            "--model_path", ckpt_dir, "--n_clips", "1", "--out", wav_dir,
-        ],
-        check=True,
-    )
+    demo_cmd = [
+        sys.executable, "-m", "lip2speech_tpu.cli.demo",
+        "--dataset", "LRW", "--root", FIXTURE,
+        "--model_path", ckpt_dir, "--n_clips", "1", "--out", wav_dir,
+    ]
+    for o in OVERRIDES:
+        demo_cmd += ["--override", o]
+    subprocess.run(demo_cmd, check=True)
 
     manifest = {
         "run": os.path.basename(run_dir.rstrip("/")),
