@@ -31,14 +31,15 @@ import sys
 
 FIXTURE = "/root/reference/Datasets/SAMPLE_LRW"
 
-# the r5f recipe: reference curriculum (tf starts 0.1 per train.py:88 and
-# anneals up slowly) + both in-graph cotangent clips + the pressure-side
-# stabilizers measured in earlier rounds of the campaign (gumbel_tau 0.5
-# tames the 1/tau cotangent amplification and the hard-noise sampling
-# when the posterior flattens; kld_weight 2 slows the one-hot collapse
-# without the uniformity overshoot kld_weight=10 produced in r5e); no
-# rewind (r5a/b showed rewinds decay lr to nothing while the collapse
-# channel persists)
+# the r5d recipe — the campaign's best (free-running ESTOI 0.129 at step
+# 2000): reference curriculum (tf starts 0.1 per train.py:88 and anneals
+# up slowly) + both in-graph cotangent clips; reject only absurd (>1e7)
+# steps; no rewind (r5a/b showed rewinds decay lr to nothing while the
+# collapse channel persists). The sibling variants measured around it:
+# kld_weight=10 (r5e) flattens logits to the silu floor and freezes the
+# run on a gradient cliff; kld_weight=2 + tau=0.5 (r5f) collapsed at
+# step ~1800; kld_weight=2 alone (r5g) peaked 0.092 and collapsed at
+# ~3600. See DESIGN.md round-5 section.
 OVERRIDES = [
     "train.learning_rate=2e-4",
     "model.scan_grad_clip=1.0",
@@ -47,8 +48,6 @@ OVERRIDES = [
     "train.tf_ratio_start=0.1",
     "train.tf_ratio_step=0.05",
     "train.tf_ratio_epochs=2500",
-    "train.kld_weight=2.0",
-    "model.gumbel_tau=0.5",
 ]
 
 
