@@ -167,8 +167,10 @@ def fold2d_s2d(video, w):
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
         n, (h + 6) // 2, (ww_ + 6) // 2, 4 * c
     )  # channel = ((r*2)+s)*C + c
-    k2 = np.asarray(jnp.concatenate([w[i] for i in range(KT)], axis=2))
-    ks = np.zeros((4, 4, 4 * c, OUT), np.float32)
+    # kernel rearrangement traced in jnp (static indices — constant-folded
+    # by XLA; numpy here would fail under jit on the traced w)
+    k2 = jnp.concatenate([w[i] for i in range(KT)], axis=2)
+    ks = jnp.zeros((4, 4, 4 * c, OUT), jnp.float32)
     for a in range(4):
         for b_ in range(4):
             for r in range(2):
@@ -176,10 +178,10 @@ def fold2d_s2d(video, w):
                     i, j = 2 * a + r, 2 * b_ + s
                     if i <= 6 and j <= 6:
                         ci = (r * 2 + s) * c
-                        ks[a, b_, ci : ci + c] = k2[i, j]
+                        ks = ks.at[a, b_, ci : ci + c].set(k2[i, j])
     out = jax.lax.conv_general_dilated(
         xs,
-        jnp.asarray(ks).astype(DTYPE),
+        ks.astype(DTYPE),
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
